@@ -1,0 +1,45 @@
+"""The flagship enrichment pipeline — reference lifecycle E1 as one DAG.
+
+Reference E1 (SURVEY.md §3): HTTP body → parse → XSLT → Jena store →
+Lucene+SPARQL geocode → RDF out.  Engine E1: one declarative DataFrame
+chain over the image+caption table:
+
+    images → extract geotag (regexp, codegen)
+           → geocell/tile encode (column math)
+           → kNN reverse geocode to nearest OSM address (ring join + window)
+           → enriched rows (image_id, caption, lat, lon, cells, tiles,
+             nearest addr_id/street/dist)
+
+Rows without a geotag stay in the output with NULL geo columns (dirty-data
+path, F9 analogue: they simply never join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p3_osm_transformer_spark.operators.geotag import extract_geotag
+from p3_osm_transformer_spark.operators.knn import knn_bruteforce, knn_ring
+from p3_osm_transformer_spark.operators.tile_assign import assign_tiles
+
+
+def enrich_images(images: DataFrame, addresses: DataFrame,
+                  knn_strategy: str = "ring") -> DataFrame:
+    tagged = extract_geotag(images).drop("bytes")
+    geo = tagged.filter(F.col("lat").isNotNull())
+    geo = assign_tiles(geo)
+
+    pts = geo.select(F.col("image_id").alias("point_id"), "lon", "lat")
+    addr = addresses.select("addr_id", "street_address", "lat", "lon")
+    if knn_strategy == "ring":
+        nn = knn_ring(pts, addr, k=1)
+    else:
+        nn = knn_bruteforce(pts, addr, k=1)
+    nn = nn.select(F.col("point_id").alias("image_id"),
+                   F.col("addr_id").alias("nearest_addr_id"),
+                   F.col("dist_m").alias("nearest_dist_m"))
+
+    enriched = geo.join(nn, "image_id", "left")
+    no_geo = tagged.filter(F.col("lat").isNull())
+    return enriched.unionByName(no_geo, allowMissingColumns=True)
