@@ -1,38 +1,70 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship E1 pipeline on sf0.001: documents-derived
+                image+caption table → geotag extract → cell/tile encode →
+                kNN reverse geocode against the synthetic OSM address
+                table → enriched rows.
+queries()     — operator inventory from SURVEY.md §2, one callable each.
+oracle_sql()  — DuckDB twins (see p3_osm_transformer_spark/contract.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from p3_osm_transformer_spark.contract import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from p3_osm_transformer_spark.operators.osm import build_addresses
+    from p3_osm_transformer_spark.plans.pipeline import enrich_images
+    from p3_osm_transformer_spark.sources import fixtures as fx
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # image+caption table derived deterministically from the documents
+    # table (caption text) + synthetic R16F payloads keyed by doc_id.
+    from p3_osm_transformer_spark.contract import point_cols
+    from p3_osm_transformer_spark.operators.images import (
+        phash_of_bytes, synth_image_bytes)
+    lon, lat = point_cols(F.col("doc_id") + 17)
+    has_geo = F.col("doc_id") % 10 < 9
+    caption = F.when(
+        has_geo,
+        F.concat(F.substring("text", 1, 60), F.lit(" @ geo:"),
+                 F.format_string("%.7f", lat), F.lit(","),
+                 F.format_string("%.7f", lon))
+    ).otherwise(F.substring("text", 1, 60))
+    images = (docs.select(
+        F.format_string("img-%08d", F.col("doc_id")).alias("image_id"),
+        F.lit(64).alias("w"), F.lit(64).alias("h"),
+        F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpeg").alias("fmt"),
+        caption.alias("caption"), F.col("doc_id").alias("_seed"))
+        .withColumn("bytes", synth_image_bytes("_seed", "w", "h", "fmt"))
+        .withColumn("phash", phash_of_bytes("bytes"))
+        .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
+
+    nodes = fx.osm_nodes(spark, 2000)
+    ways = fx.osm_ways(spark, 400, 2000)
+    addresses = build_addresses(nodes, ways)
+    return enrich_images(images, addresses, knn_strategy="ring")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twin for each oracle-checkable query."""
+    return dict(ORACLES)

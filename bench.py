@@ -1,0 +1,164 @@
+"""Bench harness — headline spatial-join + tile-assignment throughput.
+
+Runs the engine's headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "rows_per_sec": ...}
+
+Every stage materializes through the noop sink (df.write.format("noop")) so
+column pruning cannot skip the computed columns being measured.
+
+Scaling evidence (north rule two-cluster-size proxy): tools/scaling_bench.py
+runs THIS file at local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from p3_osm_transformer_spark.contract import point_cols  # noqa: E402
+from p3_osm_transformer_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> int:
+    """Materialize every column in ONE execution; return row count.
+
+    noop sink defeats column pruning; the Observation rides the same job so
+    we don't pay a second pass for the count."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")) \
+      .write.format("noop").mode("overwrite").save()
+    return int(obs.get["n"])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    timings: dict[str, float] = {}
+    headline_rows = 0
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.perf_counter()
+            rows = fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            return rows
+        return deco
+
+    # ---- headline: spatial join + tile assignment over lineitem-scale points
+    @timed("spatial_enrich")
+    def _spatial():
+        key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+        lon, lat = point_cols(key)
+        pts = li.select(key.alias("point_id"), lon.alias("lon"), lat.alias("lat"))
+        from p3_osm_transformer_spark.operators.pip import pip_join_rect
+        from p3_osm_transformer_spark.operators.tile_assign import assign_tiles
+        tiled = assign_tiles(pts, zooms=(12, 15), cell_resolutions=(7, 8, 9, 10))
+        rects = nat.select(
+            "n_nationkey",
+            ((((F.col("n_nationkey") * 131) % 340) - 170.0)).alias("bbox_lon0"),
+            ((((F.col("n_nationkey") * 89) % 150) - 75.0)).alias("bbox_lat0")) \
+            .withColumn("bbox_lon1", F.col("bbox_lon0") + 30.0) \
+            .withColumn("bbox_lat1", F.col("bbox_lat0") + 20.0)
+        joined = pip_join_rect(tiled, F.broadcast(rects))
+        return _force(joined.select("point_id", "n_nationkey", "cell_r8", "tile_z15"))
+
+    headline_rows = _spatial
+
+    # ---- kNN reverse geocode at table scale (ring expansion plan)
+    @timed("knn_ring")
+    def _knn():
+        from p3_osm_transformer_spark.operators.knn import knn_ring
+        lon, lat = point_cols(F.col("c_custkey"))
+        pts = cust.select(F.col("c_custkey").alias("point_id"),
+                          lon.alias("lon"), lat.alias("lat"))
+        slon, slat = point_cols(F.col("s_suppkey") * 7 + 3)
+        addrs = supp.select(F.col("s_suppkey").cast("string").alias("addr_id"),
+                            slon.alias("lon"), slat.alias("lat"))
+        return _force(knn_ring(pts, addrs, k=1, g=None, start_ring=2, max_rounds=2))
+
+    # ---- per-tile aggregation (skew-detection agg) over lineitem points
+    @timed("tile_agg")
+    def _tile():
+        from p3_osm_transformer_spark.functions.tiles import tile_id
+        key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+        lon, lat = point_cols(key)
+        return _force(li.select(tile_id(lon, lat, 12).alias("t"))
+                      .groupBy("t").agg(F.count("*").alias("n")))
+
+    # ---- relational core: TPC-H Q1 shape
+    @timed("group_agg")
+    def _agg():
+        return _force(
+            li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity").alias("sum_qty"),
+                   F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("revenue"),
+                   F.count("*").alias("n")))
+
+    # ---- fixture inputs: materialized ONCE to parquet (not timed) — in a
+    # real deployment these are the persisted Iceberg tables, not generated
+    # per query.  Operators below are timed reading parquet, so their plans
+    # include real scans with pushdown.
+    import tempfile
+    fixdir = os.path.join(tempfile.gettempdir(), "spark_graft_bench_fixtures")
+    if not os.path.exists(os.path.join(fixdir, "_done")):
+        from p3_osm_transformer_spark.operators.osm import build_addresses
+        from p3_osm_transformer_spark.sources import fixtures as fx
+        nodes = fx.osm_nodes(spark, 20000)
+        ways = fx.osm_ways(spark, 4000, 20000)
+        build_addresses(nodes, ways).write.mode("overwrite") \
+            .parquet(f"{fixdir}/addresses")
+        fx.query_addresses(spark, 2000).write.mode("overwrite") \
+            .parquet(f"{fixdir}/queries")
+        fx.images_table(spark, 2000).write.mode("overwrite") \
+            .parquet(f"{fixdir}/images")
+        open(os.path.join(fixdir, "_done"), "w").close()
+
+    # ---- flagship geocode join (E1/J5) against the persisted address table
+    @timed("geocode")
+    def _geocode():
+        from p3_osm_transformer_spark.operators.geocode import geocode
+        addrs = spark.read.parquet(f"{fixdir}/addresses")
+        qry = spark.read.parquet(f"{fixdir}/queries")
+        return _force(geocode(qry, addrs, "token-join"))
+
+    # ---- image payload: decode → pixel blocks → tile ids (Arrow UDF path)
+    @timed("image_blocks")
+    def _img():
+        from p3_osm_transformer_spark.operators.geotag import extract_geotag
+        from p3_osm_transformer_spark.operators.tile_assign import pixel_block_tiles
+        imgs = spark.read.parquet(f"{fixdir}/images")
+        geo = extract_geotag(imgs).filter(F.col("lat").isNotNull())
+        return _force(pixel_block_tiles(geo, block=16, zoom=18))
+
+    total = round(sum(timings.values()), 3)
+    spatial_rps = round(headline_rows / timings["spatial_enrich"], 1) \
+        if timings.get("spatial_enrich") else 0.0
+    print(json.dumps({
+        "metric": "spatial-join+tile-assignment suite wall time",
+        "value": total, "unit": "sec", "queries": timings,
+        "sf": sf_dir, "cpus": int(cpus),
+        "headline_rows": headline_rows, "spatial_rows_per_sec": spatial_rps,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,10 @@ def _face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
 
 def _st_from_uv(u: np.ndarray) -> np.ndarray:
     """S2 quadratic projection (public formula)."""
-    return np.where(u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(1 - 3 * u))
+    # np.where evaluates both branches: clamp each radicand at 0
+    pos = 0.5 * np.sqrt(np.maximum(1 + 3 * u, 0.0))
+    neg = 1 - 0.5 * np.sqrt(np.maximum(1 - 3 * u, 0.0))
+    return np.where(u >= 0, pos, neg)
 
 
 def _interleave_bits(i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:

@@ -52,8 +52,17 @@ def knn_bruteforce(points: DataFrame, addresses: DataFrame,
     return _rank_topk(cand, point_id, k)
 
 
+def pick_resolution(n_addresses: int) -> int:
+    """Density heuristic: choose g so one ring-probe region holds O(k)
+    addresses — 4^g ≈ n_addresses (uniform case), i.e. g ≈ log4(n).
+    Clamped to [3, 19]; skewed tables resolve hot areas in round 1 and
+    sparse areas through ring doubling / the brute-force tail."""
+    import math
+    return max(3, min(19, round(math.log2(max(n_addresses, 2)) / 2)))
+
+
 def knn_ring(points: DataFrame, addresses: DataFrame,
-             point_id: str = "point_id", k: int = 1, g: int = 15,
+             point_id: str = "point_id", k: int = 1, g: int | None = 15,
              start_ring: int = 1, max_rounds: int = 3) -> DataFrame:
     """Scale-path kNN via iterative cell-ring expansion.
 
@@ -65,11 +74,13 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
     go to the next round; after ``max_rounds`` the leftovers are brute-forced
     (at planet scale the leftovers are the ocean-photo tail — tiny).
     """
+    if g is None:
+        g = pick_resolution(addresses.count())
     a = addresses.select(
         "addr_id", F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"),
-        cell_id(F.col("lon"), F.col("lat"), g).alias("a_cell"))
+        cell_id(F.col("lon"), F.col("lat"), g).alias("a_cell")).cache()
 
-    pts = points.withColumn("p_cell", cell_id(F.col("lon"), F.col("lat"), g))
+    pts = points.withColumn("p_cell", cell_id(F.col("lon"), F.col("lat"), g)).cache()
     resolved: DataFrame | None = None
     # min cell edge in meters at resolution g (latitude-shrunk lon edge is
     # what bounds the guarantee; use meridional edge = conservative constant)
@@ -82,7 +93,7 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
                 .withColumn("dist_m", haversine_m(
                     F.col("lon"), F.col("lat"), F.col("a_lon"), F.col("a_lat")))
                 .drop("probe_cell", "a_cell"))
-        topk = _rank_topk(cand, point_id, k)
+        topk = _rank_topk(cand, point_id, k).cache()
         safe_radius = max(ring - 1, 0) * cell_edge_m
         kth = (topk.groupBy(point_id)
                .agg(F.max("dist_m").alias("_kth"), F.count("*").alias("_n")))
@@ -90,7 +101,8 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
                       .select(point_id)
         got = topk.join(done_ids, point_id, "left_semi")
         resolved = got if resolved is None else resolved.unionByName(got)
-        pts = pts.join(done_ids, point_id, "left_anti")
+        # cache the shrinking residual so each round's lineage stays flat
+        pts = pts.join(done_ids, point_id, "left_anti").cache()
 
     leftovers = knn_bruteforce(pts.drop("p_cell"), addresses, point_id, k)
     return resolved.unionByName(leftovers) if resolved is not None else leftovers

@@ -1,0 +1,134 @@
+"""Spatial operators vs slow-but-obvious pure-Python/numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from p3_osm_transformer_spark.functions import geocell, s2z, tiles
+from p3_osm_transformer_spark.operators import knn, pip
+from p3_osm_transformer_spark.sources import fixtures as fx
+
+
+def test_cell_encode_matches_numpy(spark):
+    df = spark.range(1, 500).select(
+        (F.col("id") % 360 - 180 + 0.25).alias("lon"),
+        (F.col("id") % 180 - 90 + 0.25).alias("lat"))
+    for g in (15, 16, 18, 19):
+        got = df.select(geocell.cell_id(F.col("lon"), F.col("lat"), g).alias("c")) \
+                .toPandas()["c"].to_numpy()
+        pdf = df.toPandas()
+        want = geocell.np_cell_id(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), g)
+        assert (got == want).all()
+
+
+def test_cell_edges_and_poles(spark):
+    df = spark.createDataFrame(
+        [(180.0, 90.0), (-180.0, -90.0), (0.0, 0.0), (179.999999, 89.999999)],
+        "lon double, lat double")
+    g = 15
+    n = 2**g
+    vals = [r["c"] for r in
+            df.select(geocell.cell_id(F.col("lon"), F.col("lat"), g).alias("c")).collect()]
+    assert vals[0] == (n - 1) * n + (n - 1)   # clamped, not overflowed
+    assert vals[1] == 0
+    assert all(0 <= v < n * n for v in vals)
+
+
+def test_tile_id_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-179.9, 179.9, 300)
+    lat = rng.uniform(-84.9, 84.9, 300)
+    df = spark.createDataFrame(list(zip(lon.tolist(), lat.tolist())),
+                               "lon double, lat double")
+    got = df.select(tiles.tile_id(F.col("lon"), F.col("lat"), 12).alias("t")) \
+            .toPandas()["t"].to_numpy()
+    want = tiles.np_tile_id(lon, lat, 12)
+    assert (got == want).all()
+
+
+def test_haversine_sanity(spark):
+    # Paris → Berlin ≈ 877 km (public reference value)
+    df = spark.createDataFrame([(2.3522, 48.8566, 13.4050, 52.5200)],
+                               "lon1 double, lat1 double, lon2 double, lat2 double")
+    d = df.select(geocell.haversine_m(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")) \
+        .collect()[0]["d"]
+    assert abs(d - 877_460) < 2_000
+
+
+def test_s2z_cells_separate_hemispheres():
+    lon = np.array([0.0, 90.0, 179.0, -90.0, 0.0, 0.0])
+    lat = np.array([0.0, 0.0, 0.0, 0.0, 89.0, -89.0])
+    cells = s2z.np_s2z_cell(lon, lat, 16)
+    assert len(set(cells.tolist())) == 6          # all on distinct faces/cells
+    faces = cells >> 58
+    assert len(set(faces.tolist())) >= 5          # ≥5 distinct cube faces
+    # nearby points share a parent at coarser level
+    c1 = s2z.np_s2z_cell(np.array([10.0]), np.array([50.0]), 8)
+    c2 = s2z.np_s2z_cell(np.array([10.001]), np.array([50.001]), 8)
+    assert c1[0] == c2[0]
+
+
+def test_ring_expansion_covers_neighbors(spark):
+    g = 15
+    n = 2**g
+    df = spark.createDataFrame([(1, 10.0, 50.0)], "point_id long, lon double, lat double")
+    df = df.withColumn("cell", geocell.cell_id(F.col("lon"), F.col("lat"), g))
+    base = df.collect()[0]["cell"]
+    probes = {r["probe_cell"] for r in
+              geocell.expand_ring(df, "cell", g, 2).collect()}
+    assert len(probes) == 25
+    cy, cx = divmod(base, n)
+    for dy in (-2, -1, 0, 1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            assert ((cy + dy) * n + (cx + dx)) in probes
+
+
+def test_pip_against_bruteforce(spark):
+    polys = fx.admin_polygons(spark, 48)
+    pts = fx.osm_nodes(spark, 800).filter("id > 0") \
+        .selectExpr("id as point_id", "lon", "lat")
+    got = {(r["point_id"], r["polygon_id"])
+           for r in pip.pip_join(pts, polys).collect()}
+    # oracle: exhaustive numpy ray cast over every (point, polygon) pair
+    ppdf = polys.toPandas()
+    tpdf = pts.toPandas()
+    want = set()
+    for _, prow in ppdf.iterrows():
+        ring = pip.parse_wkt_polygon(prow["wkt"])
+        mask = pip.np_points_in_polygon(
+            tpdf["lon"].to_numpy(), tpdf["lat"].to_numpy(), ring)
+        for pid in tpdf.loc[mask, "point_id"]:
+            want.add((int(pid), int(prow["polygon_id"])))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_pip_boundary_rule(spark):
+    # point exactly on an edge counts as inside (covers semantics)
+    polys = spark.createDataFrame(
+        [(1, "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0))",
+          0.0, 0.0, 10.0, 10.0)],
+        "polygon_id long, wkt string, bbox_lon0 double, bbox_lat0 double, "
+        "bbox_lon1 double, bbox_lat1 double")
+    pts = spark.createDataFrame(
+        [(1, 5.0, 0.0), (2, 0.0, 5.0), (3, 10.0, 10.0), (4, 5.0, 5.0), (5, 10.1, 5.0)],
+        "point_id long, lon double, lat double")
+    got = {r["point_id"] for r in pip.pip_join(pts, polys).collect()}
+    assert got == {1, 2, 3, 4}
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_knn_ring_equals_bruteforce(spark, k):
+    addrs = fx.osm_nodes(spark, 1500).filter("id > 0") \
+        .selectExpr("concat('a-', id) as addr_id", "lon", "lat")
+    pts = fx.osm_nodes(spark, 3000).filter("id > 0 and id % 7 = 0") \
+        .selectExpr("id as point_id", "lon + 0.001 as lon", "lat - 0.001 as lat")
+    ring = {(r["point_id"], r["addr_id"], r["knn_rank"])
+            for r in knn.knn_ring(pts, addrs, k=k, g=15).collect()}
+    brute = {(r["point_id"], r["addr_id"], r["knn_rank"])
+             for r in knn.knn_bruteforce(pts, addrs, k=k).collect()}
+    assert ring == brute
+    assert len(brute) > 0
