@@ -82,9 +82,11 @@ def main() -> None:
     # point where per-row work, not job overhead, dominates.
     n_li = li.count()
 
+    xl_mult = int(os.environ.get("SPARK_GRAFT_XL_MULT", "64"))
+
     @timed("spatial_enrich_xl")
     def _spatial_xl():
-        n_rows = n_li * 64
+        n_rows = n_li * xl_mult
         key = F.col("id") + 1
         lon, lat = point_cols(key)
         pts = spark.range(0, n_rows).select(
