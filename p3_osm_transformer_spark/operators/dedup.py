@@ -1,0 +1,192 @@
+"""Deduplication operator family (training-data pipeline extensions).
+
+Five dedup strategies over a (doc_id, text) corpus — all built-in-function
+DataFrame pipelines (no Python in the hot path except where noted):
+
+* exact          — md5(normalized text) hash-groupBy.
+* minhash LSH    — shingle → per-seed min-hash → band → bucket self-join.
+                   Portable construction (md5 string-min) so the DuckDB
+                   oracle can replay signatures exactly.
+* simhash        — sign-aggregated token hashes; Hamming-close pairs.
+* ngram jaccard  — token-shingle overlap verification (the exact check run
+                   on LSH candidate pairs: filter-refine, same shape as the
+                   PIP join).
+* embedding      — cosine near-duplicates (delegates to simsearch.py).
+
+Scale notes: every self-join here is bucketed (band or hash prefix) before
+any pairwise work — the candidate-pair count, not the corpus size, is the
+O(n²) guard.  At 10^12 rows the band tables partition by band hash and the
+per-bucket pair blow-up is bounded by per-bucket caps (`max_bucket`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def normalize_text(c: F.Column) -> F.Column:
+    """Casefold + collapse whitespace — the canonicalization rule."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """One row per distinct content: canonical (min) id + member count."""
+    h = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    return (docs.groupBy(h.alias("content_hash"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def dedup_exact_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(duplicate_id, canonical_id) mapping for non-canonical members."""
+    h = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    d = docs.select(F.col(id_col).alias("member_id"), h.alias("content_hash"))
+    canon = d.groupBy("content_hash").agg(F.min("member_id").alias("canonical_id"))
+    return (d.join(canon, "content_hash")
+            .filter(F.col("member_id") != F.col("canonical_id"))
+            .select("member_id", "canonical_id"))
+
+
+# ---------------------------------------------------------------- minhash
+
+def tokens_of(text_col: str) -> F.Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != "")
+
+
+def shingles_of(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles via sequence+transform (JVM-side, no UDF)."""
+    toks = tokens_of(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(text_col: str, n_hashes: int = 8, shingle_n: int = 3) -> list[F.Column]:
+    """Per-seed min over md5(seed ':' shingle) — deterministic, portable
+    (string min of hex digests; identical in any engine with md5)."""
+    sh = shingles_of(text_col, shingle_n)
+
+    def hasher(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary"))
+
+    return [F.array_min(F.transform(sh, hasher(i))).alias(f"mh_{i}")
+            for i in range(n_hashes)]
+
+
+def minhash_bands(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n_hashes: int = 8,
+                  band_size: int = 2, shingle_n: int = 3) -> DataFrame:
+    """(id, band_idx, band_key) — LSH bucket keys."""
+    sig = docs.select(F.col(id_col), *minhash_signature(text_col, n_hashes, shingle_n))
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band_idx"),
+                              F.md5(F.concat(*cols).cast("binary")).alias("band_key")))
+    return (sig.select(id_col, F.explode(F.array(*bands)).alias("b"))
+            .select(id_col, F.col("b.band_idx"), F.col("b.band_key")))
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 8,
+                        band_size: int = 2, shingle_n: int = 3,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band.
+
+    max_bucket caps pathological buckets (all-identical spam): a bucket of
+    m docs contributes m(m-1)/2 pairs; dropping buckets over the cap bounds
+    the blow-up and the dropped content is by construction near-identical —
+    exact-dedup (cheap) already collapses it.
+    """
+    bands = minhash_bands(docs, id_col, text_col, n_hashes, band_size, shingle_n)
+    sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("_bn"))
+    bands = (bands.join(sizes, ["band_idx", "band_key"])
+             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+# ---------------------------------------------------------------- jaccard
+
+def jaccard_verify(pairs: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   shingle_n: int = 3, threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the refine step)."""
+    sh = docs.select(F.col(id_col),
+                     F.array_distinct(shingles_of(text_col, shingle_n)).alias("sh"))
+    j = (pairs
+         .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (j.withColumn("jaccard", F.round(inter / union, 6))
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
+
+
+def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               threshold: float = 0.7, **lsh_kw) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify."""
+    cands = lsh_candidate_pairs(docs, id_col, text_col, **lsh_kw)
+    return jaccard_verify(cands, docs, id_col, text_col,
+                          lsh_kw.get("shingle_n", 3), threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash16(text_col: str) -> F.Column:
+    """Portable 16-dim simhash: per hex position of each token's md5,
+    vote +1 if the nibble ≥ 8 else −1; fingerprint bit = sign.  Returned as
+    a 16-char '0'/'1' string (SQL-replayable).  The 64-bit numpy variant
+    below is the scale implementation; this one is the oracle-checkable
+    spec."""
+    toks = tokens_of(text_col)
+
+    def voter(pos: int):
+        def merge(acc, t):
+            return acc + F.when(
+                F.substring(F.md5(t.cast("binary")), pos, 1)
+                 .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+        return merge
+
+    bits = []
+    for i in range(1, 17):
+        vote = F.aggregate(toks, F.lit(0), voter(i))
+        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash64_np(texts) -> "list[int]":
+    """64-bit simhash, vectorized numpy (engine scale path; used via
+    mapInPandas when corpus text is already in Arrow batches)."""
+    import hashlib
+
+    import numpy as np
+    out = []
+    for t in texts:
+        toks = [w for w in "".join(c if c.isalnum() else " " for c in t.lower()).split() if w]
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.array([int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                       for w in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = (bits * 2 - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                fp |= np.uint64(1) << np.uint64(b)
+        out.append(int(fp.astype(np.int64)))
+    return out

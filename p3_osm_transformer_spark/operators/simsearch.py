@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two plans, one contract — (query_id, neighbor_id, cos_sim, rank):
+
+* ``cosine_topk_brute``  — exact: cross join + JVM-side dot product
+  (F.aggregate over zip_with; whole-stage codegen, no Python) + window.
+  Correct at any scale where |queries| × |corpus| pairs are affordable;
+  the oracle for the bucketed plan.
+
+* ``cosine_topk_lsh``    — scale path: random-hyperplane LSH (sign
+  sketches from deterministic per-dimension coefficients), candidates =
+  bucket-join on sketch prefix with multi-probe, exact re-rank of
+  candidates only.  Recall < 1.0 by construction (reported by
+  ``lsh_recall``); the standard ANN trade.
+
+An IVF variant (k-means-lite coarse centroids) is a planned follow-up; the
+LSH plan already exercises the bucket-join + re-rank shape IVF shares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str | F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding",
+                   out_col: str = "unit_vec") -> DataFrame:
+    """Pre-normalize once at write time — cosine becomes a plain dot."""
+    n = _norm(vec_col)
+    return df.withColumn(out_col, F.transform(
+        vec_col, lambda x: x.cast("double") / n))
+
+
+def cosine_topk_brute(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                      q_id: str = "query_id", c_id: str = "neighbor_id") -> DataFrame:
+    """Exact top-k; queries/corpus carry (id, embedding)."""
+    qv = queries.select(F.col(q_id), F.col("embedding").alias("_qe"))
+    cv = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"))
+    sim = _dot("_qe", "_ce") / (_norm("_qe") * _norm("_ce"))
+    pairs = (qv.crossJoin(cv)
+             .filter(F.col(q_id) != F.col(c_id))
+             .withColumn("cos_sim", sim))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, F.round("cos_sim", 6).alias("cos_sim"), "rank"))
+
+
+# deterministic pseudo-random hyperplane coefficient for (plane p, dim d):
+# md5-derived value in [-1, 1) — same construction replayable anywhere.
+def _coef(p: int, d_col: F.Column) -> F.Column:
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}:"),
+                                          d_col.cast("string")).cast("binary")), 1, 8),
+               16, 10).cast("long")
+    return (h % 20001 - 10000) / 10000.0
+
+
+def sketch_bits(vec_col: str, n_planes: int = 16) -> F.Column:
+    """Sign sketch: bit_p = 1 iff Σ_d coef(p,d)·v_d ≥ 0 (bit string)."""
+    dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
+
+    def projector(plane: int):
+        return lambda v, d: v.cast("double") * _coef(plane, d)
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(F.zip_with(F.col(vec_col), dims, projector(p)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                    q_id: str = "query_id", c_id: str = "neighbor_id",
+                    n_planes: int = 12, prefix_bits: int = 6) -> DataFrame:
+    """ANN: sketch-prefix bucket join (multi-probe: exact prefix plus the
+    prefix_bits single-bit-flip neighbors) → exact cosine re-rank."""
+    qs = queries.select(F.col(q_id), F.col("embedding").alias("_qe"),
+                        sketch_bits("embedding", n_planes).alias("_sk"))
+    cs = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"),
+                       F.substring(sketch_bits("embedding", n_planes), 1,
+                                   prefix_bits).alias("_bucket"))
+    # multi-probe: query probes its own prefix + all 1-bit flips of it
+    probes = F.array(*(
+        [F.substring("_sk", 1, prefix_bits)]
+        + [F.concat(F.substring("_sk", 1, i),
+                    F.when(F.substring("_sk", i + 1, 1) == "1", "0").otherwise("1"),
+                    F.substring("_sk", i + 2, prefix_bits - i - 1))
+           for i in range(prefix_bits)]))
+    qp = qs.withColumn("_bucket", F.explode(F.array_distinct(probes)))
+    sim = _dot("_qe", "_ce") / (_norm("_qe") * _norm("_ce"))
+    cand = (qp.join(cs, "_bucket")
+            .filter(F.col(q_id) != F.col(c_id))
+            .select(q_id, c_id, "_qe", "_ce").distinct()
+            .withColumn("cos_sim", sim))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, F.round("cos_sim", 6).alias("cos_sim"), "rank"))
+
+
+def lsh_recall(exact: DataFrame, approx: DataFrame,
+               q_id: str = "query_id", c_id: str = "neighbor_id") -> float:
+    """Fraction of exact top-k pairs found by the ANN plan."""
+    e = exact.select(q_id, c_id)
+    hit = e.join(approx.select(q_id, c_id), [q_id, c_id], "left_semi").count()
+    total = e.count()
+    return hit / total if total else 1.0
