@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import p3_osm_transformer_spark.contract_ext  # noqa: E402, F401 (registers q24+)
 from p3_osm_transformer_spark.contract import ORACLES, QUERIES  # noqa: E402
 
 

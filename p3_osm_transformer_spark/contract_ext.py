@@ -1,0 +1,327 @@
+"""Contract queries, part 2: training-data ops + remaining spatial plans.
+
+Registered into the same QUERIES/ORACLES dicts as contract.py (imported by
+__spark_entry__ via contract).  Construction rules are identical: portable
+determinism, identical aliases, rounding on any float output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from p3_osm_transformer_spark.contract import ORACLES, QUERIES, _t, point_cols, point_sql, q
+from p3_osm_transformer_spark.functions.geocell import cell_id, cell_id_sql
+
+# shared SQL fragments ---------------------------------------------------
+_TOKS = ("list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t != '')")
+
+
+def _toks(c: str) -> str:
+    return _TOKS.format(c=c)
+
+
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' extra tail words here' AS text
+  FROM documents WHERE doc_id % 5 = 0)
+"""
+
+
+def _corpus_df(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words here")).alias("text"))
+    return d.unionByName(near)
+
+
+# ---------------------------------------------------------- q24 dedup map
+@q("q24_dedup_pairs", """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, upper(text) AS text       -- case variant
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0),
+h AS (SELECT doc_id, md5(lower(text)) AS ch FROM corpus),
+canon AS (SELECT ch, MIN(doc_id) AS canonical_id FROM h GROUP BY ch)
+SELECT h.doc_id AS member_id, canon.canonical_id
+FROM h JOIN canon USING (ch) WHERE h.doc_id != canon.canonical_id
+""")
+def q24(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.dedup import dedup_exact_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    case_var = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text"))
+    copy = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    # normalize_text casefolds + collapses whitespace; documents are single-
+    # spaced so md5(lower(text)) in SQL is the exact twin.
+    return dedup_exact_pairs(d.unionByName(case_var).unionByName(copy))
+
+
+# ------------------------------------------------- q25 minhash LSH + jaccard
+def _mh_sql(i: int) -> str:
+    sh = ("CASE WHEN len(toks) >= 3 THEN "
+          "list_transform(generate_series(1, len(toks) - 2),"
+          " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+          " ELSE [array_to_string(toks, ' ')] END")
+    return f"list_aggregate(list_transform({sh}, s -> md5('{i}:' || s)), 'min')"
+
+
+_Q25_SQL = f"""
+WITH {_CORPUS_SQL},
+tk AS (SELECT doc_id, {_toks('text')} AS toks FROM corpus),
+sig AS (SELECT doc_id, {', '.join(f'{_mh_sql(i)} AS mh_{i}' for i in range(8))} FROM tk),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_idx, md5(mh_{2*b} || mh_{2*b+1}) AS band_key FROM sig"
+      for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sh AS (SELECT doc_id,
+  list_distinct(CASE WHEN len(toks) >= 3 THEN
+    list_transform(generate_series(1, len(toks) - 2),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    ELSE [array_to_string(toks, ' ')] END) AS s FROM tk)
+SELECT id_a, id_b,
+  ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.7
+"""
+
+
+@q("q25_near_dup_jaccard", _Q25_SQL)
+def q25(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.dedup import dedup_near
+    return dedup_near(_corpus_df(spark, sf_dir), threshold=0.7,
+                      n_hashes=8, band_size=2, shingle_n=3, max_bucket=10**9)
+
+
+# ---------------------------------------------------------- q26 simhash16
+def _simhash_sql_bit(i: int) -> str:
+    return (f"CASE WHEN list_aggregate(list_transform(toks, t -> CASE WHEN "
+            f"substring(md5(t), {i}, 1) IN ('8','9','a','b','c','d','e','f') "
+            f"THEN 1 ELSE -1 END), 'sum') > 0 THEN '1' ELSE '0' END")
+
+
+@q("q26_simhash16", f"""
+WITH tk AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)
+SELECT doc_id, {" || ".join(_simhash_sql_bit(i) for i in range(1, 17))} AS simhash
+FROM tk
+""")
+def q26(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.dedup import simhash16
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", simhash16("text").alias("simhash"))
+
+
+# -------------------------------------------------------- q27 fingerprint
+@q("q27_fingerprint", """
+WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+           FROM documents)
+SELECT doc_id,
+  list_aggregate(list_transform(
+    generate_series(1, GREATEST(length(t) - 11, 1)),
+    i -> md5(substring(t, i, 12))), 'min') AS fingerprint
+FROM n
+""")
+def q27(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.text import with_fingerprint
+    return with_fingerprint(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "fingerprint")
+
+
+# ------------------------------------------------------------ q28 quality
+@q("q28_quality", r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text),
+        '\b(the|a|of|and|is|to|in|it|that|for)\b')) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+    ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+    ROUND(n_stop / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS stopword_ratio
+  FROM base)
+SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+  ROUND(LEAST(n_tokens / 20.0, 1.0)
+        * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+        * LEAST(stopword_ratio * 4.0 + 0.2, 1.0), 6) AS quality
+FROM r
+""")
+def q28(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.text import with_quality
+    return with_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality")
+
+
+# ----------------------------------------------------- q29 token counting
+@q("q29_token_subword", r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT)
+    AS n_words,
+  GREATEST(
+    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS BIGINT),
+    CAST(CEIL(length(text) / 3.2) AS BIGINT)) AS n_subword_est
+FROM documents
+""")
+def q29(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.text import with_token_counts
+    return with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "n_subword_est")
+
+
+# --------------------------------------------------------- q30 kNN (k=3)
+_LON_C, _LAT_C = point_sql("c_custkey")
+_LON_S, _LAT_S = point_sql("s_suppkey * 7 + 3")
+from p3_osm_transformer_spark.functions.geocell import haversine_m_sql  # noqa: E402
+
+_KNN3_ORACLE = f"""
+SELECT c_custkey, s_suppkey, knn_rank, ROUND(dist_m, 1) AS dist_m FROM (
+  SELECT c.c_custkey, s.s_suppkey,
+         {haversine_m_sql(_LON_C, _LAT_C, _LON_S, _LAT_S)} AS dist_m,
+         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+             ORDER BY {haversine_m_sql(_LON_C, _LAT_C, _LON_S, _LAT_S)}, s.s_suppkey)
+           AS knn_rank
+  FROM customer c CROSS JOIN supplier s) WHERE knn_rank <= 3
+"""
+
+
+@q("q30_knn3_ring", _KNN3_ORACLE)
+def q30(spark, sf_dir):
+    from p3_osm_transformer_spark.contract import _knn_inputs
+    from p3_osm_transformer_spark.operators.knn import knn_ring
+    pts, addrs = _knn_inputs(spark, sf_dir)
+    nn = knn_ring(pts, addrs, k=3, g=None, start_ring=2, max_rounds=2)
+    return nn.select(F.col("point_id").alias("c_custkey"),
+                     F.col("addr_id").alias("s_suppkey"), "knn_rank",
+                     F.round("dist_m", 1).alias("dist_m"))
+
+
+# ------------------------------------------- q31 ANN (rows-only, no oracle)
+@q("q31_ann_lsh")
+def q31(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return cosine_topk_lsh(qv, cv, k=5, prefix_bits=4)
+
+
+# --------------------------------------------------------- q32 salted agg
+@q("q32_salted_agg", f"""
+SELECT cell, COUNT(*) AS n, SUM(k) AS sk, MAX(k) AS mx FROM (
+  SELECT {cell_id_sql(point_sql('l_orderkey * 8 + l_linenumber')[0],
+                      point_sql('l_orderkey * 8 + l_linenumber')[1], 12)} AS cell,
+         l_orderkey * 8 + l_linenumber AS k
+  FROM lineitem) GROUP BY cell
+""")
+def q32(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.skew import salted_agg
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    lon, lat = point_cols(key)
+    pts = li.select(cell_id(lon, lat, 12).alias("cell"), key.alias("k"))
+    out = salted_agg(pts, "cell", "k",
+                     {"n": "count(*)", "sk": "sum(k)", "mx": "max(k)"}, n_salts=8)
+    return out.select("cell", F.col("n").cast("bigint").alias("n"), "sk", "mx")
+
+
+# ---------------------------------------------------------- q33 hot cells
+@q("q33_hot_cells", f"""
+WITH counts AS (
+  SELECT {cell_id_sql(point_sql('l_orderkey * 8 + l_linenumber')[0],
+                      point_sql('l_orderkey * 8 + l_linenumber')[1], 10)} AS cell,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1)
+SELECT cell, n_rows FROM counts, (SELECT AVG(n_rows) AS m FROM counts)
+WHERE n_rows > m * 16.0
+""")
+def q33(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.skew import hot_cells
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    lon, lat = point_cols(key)
+    pts = li.select(cell_id(lon, lat, 10).alias("cell"))
+    return hot_cells(pts, "cell", factor=16.0)
+
+
+# ------------------------------------------------- q34 L-shaped PIP (exact)
+# L polygon = rect [9,13]×[41,43] ∪ rect [9,11]×[43,45]; oracle = two BETWEENs
+_Q34_SQL = f"""
+SELECT c_custkey FROM customer
+WHERE ({_LON_C} BETWEEN 9.0 AND 13.0 AND {_LAT_C} BETWEEN 41.0 AND 43.0)
+   OR ({_LON_C} BETWEEN 9.0 AND 11.0 AND {_LAT_C} BETWEEN 43.0 AND 45.0)
+"""
+
+
+@q("q34_pip_lshape", _Q34_SQL)
+def q34(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.pip import pip_join
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = point_cols(F.col("c_custkey"))
+    pts = c.select(F.col("c_custkey").alias("point_id"),
+                   lon.alias("lon"), lat.alias("lat"))
+    poly = spark.createDataFrame(
+        [(1, "POLYGON ((9.0 41.0, 13.0 41.0, 13.0 43.0, 11.0 43.0, 11.0 45.0, "
+             "9.0 45.0, 9.0 41.0))", 9.0, 41.0, 13.0, 45.0)],
+        "polygon_id long, wkt string, bbox_lon0 double, bbox_lat0 double, "
+        "bbox_lon1 double, bbox_lat1 double")
+    return pip_join(pts, poly, point_id="point_id") \
+        .select(F.col("point_id").alias("c_custkey"))
+
+
+# -------------------------------------------- q35 geocode vs naive SQL twin
+_Q35_SQL = f"""
+WITH addrs AS (
+  SELECT 'urn:osm:uuid:' || p_partkey AS addr_id, p_name AS street_address,
+         p_brand AS locality, substring(p_type, 1, 8) AS country,
+         {point_sql('p_partkey + 11')[1]} AS lat, {point_sql('p_partkey + 11')[0]} AS lon
+  FROM part),
+qs AS (
+  SELECT 'q-' || p_partkey AS query_id, p_name AS street_address,
+         CASE WHEN p_partkey % 3 = 0 THEN 'NOMATCH' ELSE p_brand END AS locality,
+         substring(p_type, 1, 8) AS country
+  FROM part WHERE p_partkey % 9 = 1)
+SELECT q.query_id, a.addr_id, a.street_address AS matched_street,
+       q.locality, q.country, a.lat, a.lon
+FROM qs q JOIN addrs a
+  ON list_has_any({_toks('q.street_address')}, {_toks('a.street_address')})
+ AND q.locality = a.locality AND q.country = a.country
+WHERE length(q.street_address) > 0
+"""
+
+
+@q("q35_geocode_tokens", _Q35_SQL)
+def q35(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.geocode import geocode
+    p = _t(spark, sf_dir, "part")
+    lon, lat = point_cols(F.col("p_partkey") + 11)
+    addrs = p.select(
+        F.concat(F.lit("urn:osm:uuid:"), F.col("p_partkey").cast("string")).alias("addr_id"),
+        F.col("p_name").alias("street_address"),
+        F.col("p_brand").alias("locality"),
+        F.substring("p_type", 1, 8).alias("country"),
+        lat.alias("lat"), lon.alias("lon"),
+        # unique internal key (geocode joins back on see_also)
+        F.concat(F.lit("x/"), F.col("p_partkey").cast("string")).alias("see_also"))
+    qs = p.filter(F.col("p_partkey") % 9 == 1).select(
+        F.concat(F.lit("q-"), F.col("p_partkey").cast("string")).alias("query_id"),
+        F.col("p_name").alias("street_address"),
+        F.when(F.col("p_partkey") % 3 == 0, "NOMATCH")
+         .otherwise(F.col("p_brand")).alias("locality"),
+        F.substring("p_type", 1, 8).alias("country"))
+    return geocode(qs, addrs, strategy="token-join")

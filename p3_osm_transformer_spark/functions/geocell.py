@@ -104,25 +104,29 @@ def ring_offsets_df(spark, k: int) -> DataFrame:
 
 def expand_ring(df: DataFrame, cell_col: str, g: int, k: int,
                 out_col: str = "probe_cell") -> DataFrame:
-    """Explode each row into its (2k+1)^2 neighbor cells (x wraps, y clamps).
+    """Explode each row into its ≤(2k+1)^2 neighbor cells (x wraps, y clamps).
 
     This is the kNN candidate generator: join ``out_col`` against the
-    address table's cell column. Uses sequence+explode so the blow-up stays
-    JVM-side; no UDF, no driver loop.
+    address table's cell column. Uses sequence+transform+array_distinct+
+    explode so the blow-up stays JVM-side; no UDF, no driver loop.
+
+    array_distinct is load-bearing: y-clamping at the poles (and x wrap on
+    tiny grids) maps several offsets to the same cell, and a duplicated
+    probe cell would duplicate every candidate it contributes — silently
+    corrupting k>1 ranks downstream.
     """
     n = 2**g
     cy = F.floor(F.col(cell_col) / F.lit(n))
     cx = F.col(cell_col) % F.lit(n)
-    offs = F.expr(
-        f"flatten(transform(sequence({-k}, {k}), dx -> "
-        f"transform(sequence({-k}, {k}), dy -> struct(dx as dx, dy as dy))))"
-    )
     df = df.withColumn("_cx", cx).withColumn("_cy", cy)
-    df = df.withColumn("_off", F.explode(offs))
-    ny = F.greatest(F.least(F.col("_cy") + F.col("_off.dy"), F.lit(n - 1)), F.lit(0))
-    nx = F.pmod(F.col("_cx") + F.col("_off.dx"), F.lit(n))
-    return (df.withColumn(out_col, (ny * F.lit(n) + nx).cast("long"))
-              .drop("_cx", "_cy", "_off"))
+    probes = F.expr(
+        f"array_distinct(flatten(transform(sequence({-k}, {k}), dy -> "
+        f"transform(sequence({-k}, {k}), dx -> "
+        f"greatest(least(_cy + dy, {n - 1}), 0) * cast({n} as bigint)"
+        f" + pmod(_cx + dx, {n})))))"
+    )
+    return (df.withColumn(out_col, F.explode(probes))
+              .drop("_cx", "_cy"))
 
 
 def expand_ring_sql(cell: str, g: int, k: int) -> str:

@@ -82,9 +82,15 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
 
     pts = points.withColumn("p_cell", cell_id(F.col("lon"), F.col("lat"), g)).cache()
     resolved: DataFrame | None = None
-    # min cell edge in meters at resolution g (latitude-shrunk lon edge is
-    # what bounds the guarantee; use meridional edge = conservative constant)
-    cell_edge_m = 180.0 / (2**g) * 111_194.9
+    # Termination bound: a point may stop expanding only if its kth-nearest
+    # candidate is provably closer than ANY cell outside the probed ring.
+    # The binding direction is longitudinal at high latitude (lon cell edge
+    # shrinks with cos φ), so the bound is per-point:
+    #   safe(p) = (ring-1) · min(lat_edge_m, lon_edge_m · cos(φ_band))
+    # with φ_band the worst (largest) |lat| anywhere in the probed band.
+    lat_cell_deg = 180.0 / (2**g)
+    lat_edge_m = lat_cell_deg * 111_194.9
+    lon_edge_eq_m = 360.0 / (2**g) * 111_319.49
 
     for r in range(max_rounds):
         ring = start_ring * (2**r)
@@ -94,9 +100,15 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
                     F.col("lon"), F.col("lat"), F.col("a_lon"), F.col("a_lat")))
                 .drop("probe_cell", "a_cell"))
         topk = _rank_topk(cand, point_id, k).cache()
-        safe_radius = max(ring - 1, 0) * cell_edge_m
+        band_lat = F.least(F.abs(F.col("lat")) + F.lit((ring + 1) * lat_cell_deg),
+                           F.lit(89.9999))
+        safe_radius = (F.lit(float(max(ring - 1, 0)))
+                       * F.least(F.lit(lat_edge_m),
+                                 F.lit(lon_edge_eq_m) * F.cos(F.radians(band_lat))))
+        plats = pts.select(point_id, "lat")
         kth = (topk.groupBy(point_id)
-               .agg(F.max("dist_m").alias("_kth"), F.count("*").alias("_n")))
+               .agg(F.max("dist_m").alias("_kth"), F.count("*").alias("_n"))
+               .join(plats, point_id))
         done_ids = kth.filter((F.col("_n") >= k) & (F.col("_kth") <= safe_radius)) \
                       .select(point_id)
         got = topk.join(done_ids, point_id, "left_semi")

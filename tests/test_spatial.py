@@ -120,6 +120,35 @@ def test_pip_boundary_rule(spark):
     assert got == {1, 2, 3, 4}
 
 
+def test_ring_expansion_dedupes_on_clamp(spark):
+    # tiny grid: clamping/wraparound maps several offsets onto one cell —
+    # regression for duplicate candidates corrupting k>1 ranks
+    g = 3
+    df = spark.createDataFrame([(1, -170.0, -85.0)],
+                               "point_id long, lon double, lat double")
+    df = df.withColumn("cell", geocell.cell_id(F.col("lon"), F.col("lat"), g))
+    probes = [r["probe_cell"] for r in geocell.expand_ring(df, "cell", g, 3).collect()]
+    assert len(probes) == len(set(probes))
+
+
+def test_knn_ring_high_latitude_regression(spark):
+    # at |lat|≈80° the lon cell edge shrinks with cos(lat): the ring
+    # termination bound must shrink too (regression: wrong rank-3 picks)
+    rng = range(200)
+    addrs = spark.createDataFrame(
+        [(f"a-{i}", -170 + (i * 37 % 340) * 1.0, 75.0 + (i * 13 % 140) / 10.0)
+         for i in rng], "addr_id string, lon double, lat double")
+    pts = spark.createDataFrame(
+        [(i, -170 + (i * 53 % 340) * 1.0, 76.0 + (i * 7 % 130) / 10.0)
+         for i in range(60)], "point_id long, lon double, lat double")
+    ring = {(r["point_id"], r["addr_id"], r["knn_rank"])
+            for r in knn.knn_ring(pts, addrs, k=3, g=6, start_ring=2,
+                                  max_rounds=2).collect()}
+    brute = {(r["point_id"], r["addr_id"], r["knn_rank"])
+             for r in knn.knn_bruteforce(pts, addrs, k=3).collect()}
+    assert ring == brute
+
+
 @pytest.mark.parametrize("k", [1, 3])
 def test_knn_ring_equals_bruteforce(spark, k):
     addrs = fx.osm_nodes(spark, 1500).filter("id > 0") \
