@@ -325,3 +325,166 @@ def q35(spark, sf_dir):
          .otherwise(F.col("p_brand")).alias("locality"),
         F.substring("p_type", 1, 8).alias("country"))
     return geocode(qs, addrs, strategy="token-join")
+
+
+# =============================================================== part 3
+
+# F5-analogue over typed JSON props (reference POI filters are categorical
+# predicates; events.props is the testdata's semi-structured column)
+@q("q36_json_props", """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+""")
+def q36(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter(F.col("event_type").isin("click", "view"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+                  .alias("sum_k")))
+
+
+# grouping-sets family (engine extension; reference has plain group-by only)
+@q("q37_rollup", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def q37(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+# S2-style cube-face cells — pandas-UDF path, not SQL-expressible (rows-only)
+@q("q38_s2z_cells")
+def q38(spark, sf_dir):
+    from p3_osm_transformer_spark.functions.s2z import s2z_cell
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = point_cols(F.col("c_custkey"))
+    cells = c.select("c_custkey", s2z_cell(lon, lat, 12).alias("s2z"))
+    return (cells.groupBy(F.shiftright("s2z", 58).alias("face"))
+            .agg(F.count("*").alias("n_points"))
+            .orderBy("face"))
+
+
+# running analytic window (frame clause) over the events stream table
+@q("q39_running_window", """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+""")
+def q39(spark, sf_dir):
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"))
+
+
+# pivot (conditional aggregation twin)
+@q("q40_pivot", """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+""")
+def q40(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"])
+         .agg(F.round(F.sum("l_quantity"), 2)))
+    return p.select("l_returnflag", F.col("O").alias("qty_O"),
+                    F.col("F").alias("qty_F"))
+
+
+# exact distinct counting (A-family; approx_count_distinct is engine-local)
+@q("q41_count_distinct", """
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+""")
+def q41(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem").groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("n_orders"),
+                 F.countDistinct("l_partkey").alias("n_parts")))
+
+
+# cell hierarchy: child g=12 → parent g=10 rollup (parent_cell arithmetic)
+@q("q42_cell_parent_rollup", f"""
+WITH child AS (
+  SELECT {cell_id_sql(point_sql('l_orderkey * 8 + l_linenumber')[0],
+                      point_sql('l_orderkey * 8 + l_linenumber')[1], 12)} AS cell
+  FROM lineitem)
+SELECT ((cell // 4096) // 4) * 1024 + ((cell % 4096) // 4) AS parent_cell,
+       COUNT(*) AS n
+FROM child GROUP BY 1
+""")
+def q42(spark, sf_dir):
+    from p3_osm_transformer_spark.functions.geocell import parent_cell
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    lon, lat = point_cols(key)
+    child = li.select(cell_id(lon, lat, 12).alias("cell"))
+    return (child.select(parent_cell(F.col("cell"), 12, 2).alias("parent_cell"))
+            .groupBy("parent_cell").agg(F.count("*").alias("n")))
+
+
+# U1 incremental-union text-hit semantics (JenaTextConfigTest twin: load →
+# 1 hit, load increment → 2 hits, scaled up)
+@q("q43_union_text_hits", f"""
+WITH base AS (SELECT p_partkey AS k, p_name AS street FROM part),
+increment AS (SELECT p_partkey + 500000 AS k, p_name AS street
+              FROM part WHERE p_partkey % 2 = 0),
+hit AS (SELECT 'base' AS stage, COUNT(*) AS n_hits FROM base
+        WHERE list_has_any({_toks('street')}, ['red'])
+        UNION ALL
+        SELECT 'after_union' AS stage, COUNT(*) AS n_hits FROM (
+          SELECT * FROM base UNION ALL SELECT * FROM increment)
+        WHERE list_has_any({_toks('street')}, ['red']))
+SELECT stage, n_hits FROM hit
+""")
+def q43(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.geocode import street_tokens
+    p = _t(spark, sf_dir, "part")
+    base = p.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("street"))
+    inc = p.filter(F.col("p_partkey") % 2 == 0).select(
+        (F.col("p_partkey") + 500000).alias("k"), F.col("p_name").alias("street"))
+    has_red = F.arrays_overlap(street_tokens(F.col("street")),
+                               F.array(F.lit("red")))
+    b = base.filter(has_red).agg(F.count("*").alias("n_hits")) \
+        .select(F.lit("base").alias("stage"), "n_hits")
+    u = base.unionByName(inc).filter(has_red) \
+        .agg(F.count("*").alias("n_hits")) \
+        .select(F.lit("after_union").alias("stage"), "n_hits")
+    return b.unionByName(u)
+
+
+# unit-norm precompute + plain-dot cosine (the write-time normalization move)
+@q("q44_unit_norm_dot", """
+WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_aggregate(list_transform(embedding,
+           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS u
+  FROM embeddings)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+  ROUND((SELECT SUM(a.u[g] * b.u[g]) FROM generate_series(1, 64) gs(g)), 4)
+    AS cos_sim
+FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 50
+""")
+def q44(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.simsearch import with_unit_norm
+    e = with_unit_norm(_t(spark, sf_dir, "embeddings"))
+    a = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("unit_vec").alias("ua"))
+    b = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 50)).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("unit_vec").alias("ub"))
+    dot = F.aggregate(F.zip_with("ua", "ub", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (a.crossJoin(b)
+            .select("query_id", "neighbor_id", F.round(dot, 4).alias("cos_sim")))
