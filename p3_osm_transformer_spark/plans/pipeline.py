@@ -33,7 +33,9 @@ def enrich_images(images: DataFrame, addresses: DataFrame,
     pts = geo.select(F.col("image_id").alias("point_id"), "lon", "lat")
     addr = addresses.select("addr_id", "street_address", "lat", "lon")
     if knn_strategy == "ring":
-        nn = knn_ring(pts, addr, k=1)
+        # g=None → density-picked resolution (pick_resolution), so the ring
+        # join stays productive whether addresses number 10^2 or 10^9
+        nn = knn_ring(pts, addr, k=1, g=None, start_ring=2)
     else:
         nn = knn_bruteforce(pts, addr, k=1)
     nn = nn.select(F.col("point_id").alias("image_id"),
