@@ -190,3 +190,59 @@ def simhash64_np(texts) -> "list[int]":
                 fp |= np.uint64(1) << np.uint64(b)
         out.append(int(fp.astype(np.int64)))
     return out
+
+
+# ---------------------------------------------------------- simhash @ scale
+
+def with_simhash64(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, simhash64) via Arrow-batched mapInPandas (the scale path for
+    the 64-bit fingerprint; simhash16 above is the SQL-replayable spec)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("simhash64", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "simhash64": simhash64_np(list(pdf[text_col])),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by 64-bit simhash Hamming distance ≤ max_hamming.
+
+    Scale plan — the classic 4-band pigeonhole: split the 64-bit hash into
+    4 × 16-bit bands; any pair within Hamming ≤ 3 matches exactly on ≥ 1
+    band (pigeonhole over 4 bands), so candidates come from 4 bucket
+    self-joins, then the exact popcount filter runs on candidates only.
+    """
+    sh = with_simhash64(docs, id_col, text_col)
+    bands = []
+    for b in range(4):
+        band = F.shiftrightunsigned(F.col("simhash64"), b * 16) % F.lit(65536)
+        bands.append(F.struct(F.lit(b).alias("band_idx"), band.alias("band_val")))
+    keyed = (sh.select(id_col, "simhash64", F.explode(F.array(*bands)).alias("b"))
+             .select(id_col, "simhash64", "b.band_idx", "b.band_val"))
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash64").alias("h_a"),
+                     "band_idx", "band_val")
+    b_ = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash64").alias("h_b"),
+                      "band_idx", "band_val")
+    cand = (a.join(b_, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b").distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

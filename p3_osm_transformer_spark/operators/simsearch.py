@@ -13,14 +13,19 @@ Two plans, one contract — (query_id, neighbor_id, cos_sim, rank):
   candidates only.  Recall < 1.0 by construction (reported by
   ``lsh_recall``); the standard ANN trade.
 
-An IVF variant (k-means-lite coarse centroids) is a planned follow-up; the
-LSH plan already exercises the bucket-join + re-rank shape IVF shares.
+* ``cosine_topk_ivf``    — second scale path: IVF (k-means-lite coarse
+  quantizer on a bounded deterministic sample) → corpus bucketed by
+  nearest centroid → multi-probe bucket join → exact re-rank.  Same
+  candidate-join shape as LSH with data-adaptive buckets.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
@@ -116,3 +121,75 @@ def lsh_recall(exact: DataFrame, approx: DataFrame,
     hit = e.join(approx.select(q_id, c_id), [q_id, c_id], "left_semi").count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+# ------------------------------------------------------------------- IVF
+
+def train_centroids_np(sample_vecs, n_centroids: int = 16,
+                       n_iters: int = 8):
+    """Deterministic k-means-lite on a bounded driver-side sample (the IVF
+    coarse quantizer).  Unit-normalized so assignment = max dot product."""
+    x = np.asarray(sample_vecs, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    # deterministic farthest-point-ish init: evenly strided sample rows
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    c = x[idx].copy()
+    for _ in range(n_iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def _centroid_topn_udf(centroids, n_probe: int):
+    """pandas_udf: embedding → array of its n_probe nearest centroid ids."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(emb: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return probe
+
+
+def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                    q_id: str = "query_id", c_id: str = "neighbor_id",
+                    n_centroids: int = 16, n_probe: int = 4,
+                    sample_cap: int = 4096) -> DataFrame:
+    """IVF ANN: k-means coarse centroids → corpus bucketed by nearest
+    centroid → queries probe n_probe buckets → exact re-rank.
+
+    The quantizer trains on a deterministic bounded sample (first
+    ``sample_cap`` rows by id — at planet scale a `TABLESAMPLE` of the
+    Iceberg table); training is the only driver-side step and is O(sample ×
+    centroids).  Assignment/probing are Arrow-batched; the joins are plain
+    equi-joins on centroid id.
+    """
+    sample = [r["embedding"] for r in
+              corpus.select(F.col(c_id), "embedding")
+                    .orderBy(c_id).limit(sample_cap).collect()]
+    cents = train_centroids_np(sample, n_centroids)
+
+    assign1 = _centroid_topn_udf(cents, 1)
+    cs = corpus.select(F.col(c_id), F.col("embedding").alias("_ce")) \
+        .withColumn("_bucket", assign1("_ce")[0])
+    probe_n = _centroid_topn_udf(cents, n_probe)
+    qs = queries.select(F.col(q_id), F.col("embedding").alias("_qe")) \
+        .withColumn("_bucket", F.explode(probe_n("_qe")))
+
+    sim = _dot("_qe", "_ce") / (_norm("_qe") * _norm("_ce"))
+    cand = (qs.join(cs, "_bucket")
+            .filter(F.col(q_id) != F.col(c_id))
+            .select(q_id, c_id, "_qe", "_ce").distinct()
+            .withColumn("cos_sim", sim))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, F.round("cos_sim", 6).alias("cos_sim"), "rank"))

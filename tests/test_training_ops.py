@@ -103,3 +103,29 @@ def test_text_ops(spark):
     fp1 = out[1]["fingerprint"]
     fp2 = text.with_fingerprint(docs2).collect()[0]["fingerprint"]
     assert fp1 == fp2
+
+
+def test_simhash64_banded_near_pairs(spark):
+    c = _corpus(spark)
+    pairs = dedup.simhash_near_pairs(c, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact copies (hamming 0) must all be found
+    exact_pairs = {(r["doc_id"], r["doc_id"] + 100000)
+                   for r in c.filter("doc_id < 100000 and doc_id % 7 = 0").collect()}
+    assert exact_pairs <= got
+    # hamming values are within the threshold and pigeonhole found them
+    assert pairs.filter("hamming > 6").count() == 0
+
+
+def test_cosine_topk_ivf_planted(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(200, 32).astype(np.float32)
+    noisy = base[:40] + 0.1 * rng.randn(40, 32).astype(np.float32)
+    rows = [(int(i), base[i].tolist()) for i in range(200)] + \
+           [(int(1000 + i), noisy[i].tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 40").selectExpr("vec_id as query_id", "embedding")
+    c = emb.selectExpr("vec_id as neighbor_id", "embedding")
+    exact = simsearch.cosine_topk_brute(q, c, k=1)
+    ivf = simsearch.cosine_topk_ivf(q, c, k=1, n_centroids=8, n_probe=3)
+    assert simsearch.lsh_recall(exact, ivf) >= 0.9
