@@ -196,6 +196,25 @@ def main() -> None:
         geo = extract_geotag(imgs).filter(F.col("lat").isNotNull())
         return _force(pixel_block_tiles(geo, block=16, zoom=18))
 
+    # ---- training-data ops: near-dup dedup + ANN over the doc/embedding tables
+    @timed("dedup_near")
+    def _dedup():
+        from p3_osm_transformer_spark.operators.dedup import dedup_near
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        dup = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"))
+        return _force(dedup_near(d.unionByName(dup), threshold=0.7))
+
+    @timed("ann_lsh")
+    def _ann():
+        from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = e.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        cv = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        return _force(cosine_topk_lsh(qv, cv, k=10, prefix_bits=4))
+
     total = round(sum(timings.values()), 3)
     spatial_rps = round(headline_input_rows / timings["spatial_enrich_xl"], 1) \
         if timings.get("spatial_enrich_xl") else 0.0

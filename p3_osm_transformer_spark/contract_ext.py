@@ -488,3 +488,23 @@ def q44(spark, sf_dir):
                       F.lit(0.0), lambda acc, x: acc + x)
     return (a.crossJoin(b)
             .select("query_id", "neighbor_id", F.round(dot, 4).alias("cos_sim")))
+
+
+# 64-bit simhash banded near-dup pairs — python-hash construction, so no
+# SQL twin (rows-only); the 16-dim spec variant q26 carries the oracle.
+@q("q45_simhash64_pairs")
+def q45(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.dedup import simhash_near_pairs
+    return simhash_near_pairs(_corpus_df(spark, sf_dir), max_hamming=6)
+
+
+# IVF ANN — data-adaptive buckets (k-means quantizer), rows-only; exact
+# re-rank correctness is pytest-verified against the brute-force oracle.
+@q("q46_ann_ivf")
+def q46(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.simsearch import cosine_topk_ivf
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return cosine_topk_ivf(qv, cv, k=5, n_centroids=16, n_probe=4)

@@ -72,7 +72,13 @@ def shingles_of(text_col: str, n: int = 3) -> F.Column:
 
 def minhash_signature(text_col: str, n_hashes: int = 8, shingle_n: int = 3) -> list[F.Column]:
     """Per-seed min over md5(seed ':' shingle) — deterministic, portable
-    (string min of hex digests; identical in any engine with md5)."""
+    (string min of hex digests; identical in any engine with md5).
+
+    Scalar-column form — convenient for small inputs, but Catalyst does NOT
+    common-subexpression the shingle array across the n_hashes lambdas, so
+    cost is O(n_hashes · len²) per row.  The pipeline path below
+    (``minhash_signature_df``) is the production shape.
+    """
     sh = shingles_of(text_col, shingle_n)
 
     def hasher(seed: int):
@@ -82,11 +88,35 @@ def minhash_signature(text_col: str, n_hashes: int = 8, shingle_n: int = 3) -> l
             for i in range(n_hashes)]
 
 
+def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_hashes: int = 8,
+                         shingle_n: int = 3) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) via materialize-once → explode → min-agg.
+
+    Each stage computes its input exactly once (attributes, not repeated
+    expression trees): tokens projection → shingles projection → explode →
+    n_hashes md5 columns per shingle row → one map-side-partial min
+    aggregate.  This is also the only shape that scales: the shingle
+    explosion shuffles by doc id with algebraic (min) combine.
+    """
+    tk = docs.select(F.col(id_col), tokens_of(text_col).alias("_toks"))
+    sh = tk.select(
+        id_col,
+        F.when(F.size("_toks") >= shingle_n,
+               F.transform(F.sequence(F.lit(0), F.size("_toks") - shingle_n),
+                           lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, shingle_n)))
+               ).otherwise(F.array(F.concat_ws(" ", "_toks"))).alias("_sh"))
+    ex = sh.select(id_col, F.explode("_sh").alias("_s"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")).cast("binary")))
+            .alias(f"mh_{i}") for i in range(n_hashes)]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n_hashes: int = 8,
                   band_size: int = 2, shingle_n: int = 3) -> DataFrame:
     """(id, band_idx, band_key) — LSH bucket keys."""
-    sig = docs.select(F.col(id_col), *minhash_signature(text_col, n_hashes, shingle_n))
+    sig = minhash_signature_df(docs, id_col, text_col, n_hashes, shingle_n)
     bands = []
     for b in range(n_hashes // band_size):
         cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
@@ -107,7 +137,11 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     the blow-up and the dropped content is by construction near-identical —
     exact-dedup (cheap) already collapses it.
     """
-    bands = minhash_bands(docs, id_col, text_col, n_hashes, band_size, shingle_n)
+    # the band table feeds a size-filter join AND both sides of the pair
+    # self-join — cache it so the signature computation runs once (at
+    # warehouse scale this is a persisted signatures table instead)
+    bands = minhash_bands(docs, id_col, text_col, n_hashes, band_size,
+                          shingle_n).cache()
     sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("_bn"))
     bands = (bands.join(sizes, ["band_idx", "band_key"])
              .filter(F.col("_bn") <= max_bucket).drop("_bn"))
@@ -124,8 +158,16 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_n: int = 3, threshold: float = 0.7) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the refine step)."""
-    sh = docs.select(F.col(id_col),
-                     F.array_distinct(shingles_of(text_col, shingle_n)).alias("sh"))
+    # two-step projection: tokens materialized before the shingle lambda so
+    # the split isn't re-evaluated per shingle position
+    tk = docs.select(F.col(id_col), tokens_of(text_col).alias("_toks"))
+    sh_expr = F.when(
+        F.size("_toks") >= shingle_n,
+        F.transform(F.sequence(F.lit(0), F.size("_toks") - shingle_n),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, shingle_n)))
+    ).otherwise(F.array(F.concat_ws(" ", "_toks")))
+    # joined twice (id_a and id_b sides) — cache the shingle-set table
+    sh = tk.select(F.col(id_col), F.array_distinct(sh_expr).alias("sh")).cache()
     j = (pairs
          .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))

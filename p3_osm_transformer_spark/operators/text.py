@@ -82,9 +82,14 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 12,
     """Min-hash over character k-grams of the normalized text: the
     winnowing-style document fingerprint, as pure column math (sequence →
     transform(substring) → array_min(md5))."""
-    # dynamic substring positions need expr() (F.substring takes int pos)
+    # materialize the normalized text first — otherwise the regexp_replace
+    # re-runs per k-gram position inside the transform lambda
+    df = df.withColumn(
+        "_norm", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}),"
-        f" '\\\\s+', ' ')) - {k} + 1, 1)),"
-        f" i -> substring(regexp_replace(lower({text_col}), '\\\\s+', ' '), i, {k}))")
-    return df.withColumn(out_col, F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary")))))
+        f"transform(sequence(1, greatest(length(_norm) - {k} + 1, 1)),"
+        f" i -> substring(_norm, i, {k}))")
+    return (df.withColumn(out_col,
+                          F.array_min(F.transform(grams,
+                                                  lambda g: F.md5(g.cast("binary")))))
+              .drop("_norm"))
