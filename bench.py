@@ -129,13 +129,17 @@ def main() -> None:
 
     headline_rows = _spatial
 
-    # ---- kNN reverse geocode at table scale (ring expansion plan)
+    # ---- kNN reverse geocode at lineitem scale (ring expansion plan).
+    # Points at customer scale (15k @ sf0.1) are all scheduling overhead —
+    # the stage must be large enough that per-row work dominates or the
+    # scaling numbers measure the task dispatcher, not the plan.
     @timed("knn_ring")
     def _knn():
         from p3_osm_transformer_spark.operators.knn import knn_ring
-        lon, lat = point_cols(F.col("c_custkey"))
-        pts = cust.select(F.col("c_custkey").alias("point_id"),
-                          lon.alias("lon"), lat.alias("lat"))
+        key = F.col("id") + 1
+        lon, lat = point_cols(key)
+        pts = spark.range(0, n_li).select(
+            key.alias("point_id"), lon.alias("lon"), lat.alias("lat"))
         slon, slat = point_cols(F.col("s_suppkey") * 7 + 3)
         addrs = supp.select(F.col("s_suppkey").cast("string").alias("addr_id"),
                             slon.alias("lon"), slat.alias("lat"))
