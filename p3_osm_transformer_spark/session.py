@@ -31,6 +31,13 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.ui.showConsoleProgress": "false",
 }
 
+# Bucketed tables (sources/bucketed.py) go through saveAsTable; keep the
+# warehouse out of the repo checkout.
+import tempfile  # noqa: E402
+
+_ENGINE_CONFS["spark.sql.warehouse.dir"] = os.path.join(
+    tempfile.gettempdir(), "spark_graft_warehouse")
+
 
 def get_spark(
     app_name: str = "p3_osm_transformer_spark",

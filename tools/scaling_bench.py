@@ -33,9 +33,16 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
                # headline sized so the 8-core run is >>10s: parallelism, not
                # per-job fixed overhead, is what gets measured
                SPARK_GRAFT_XL_MULT=os.environ.get("SPARK_GRAFT_XL_MULT", "512"))
+    # Pin the WHOLE process tree to exactly `cpus` cores: local[N] bounds
+    # Spark task threads only — JVM GC/shuffle/codegen threads and Python
+    # workers otherwise spill onto all host cores, inflating low-N levels
+    # and understating N→4N efficiency.  taskset makes each level a true
+    # N-core machine, which is what an N-executor cluster gives each node.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1800, check=True)
+        cmd, env=env, capture_output=True, text=True, timeout=1800, check=True)
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
