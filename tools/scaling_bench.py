@@ -30,9 +30,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
-               # headline sized so the 8-core run is >>10s: parallelism, not
-               # per-job fixed overhead, is what gets measured
-               SPARK_GRAFT_XL_MULT=os.environ.get("SPARK_GRAFT_XL_MULT", "512"))
+               # headline sized so work, not per-job fixed overhead (~2s of
+               # driver planning + job scheduling + AQE materialization),
+               # dominates even at the lowest level: at XL=512 that overhead
+               # is ~15% of the 16-core wall and caps measured efficiency at
+               # ~0.65; at XL=2048 (1.23B rows) the same plan measures 0.97.
+               # The 10^12-row design point is further in this direction.
+               SPARK_GRAFT_XL_MULT=os.environ.get("SPARK_GRAFT_XL_MULT", "2048"))
     # Pin the WHOLE process tree to exactly `cpus` cores: local[N] bounds
     # Spark task threads only — JVM GC/shuffle/codegen threads and Python
     # workers otherwise spill onto all host cores, inflating low-N levels
