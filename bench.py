@@ -9,7 +9,7 @@ Every stage materializes through the noop sink (df.write.format("noop")) so
 column pruning cannot skip the computed columns being measured.
 
 Scaling evidence (north rule two-cluster-size proxy): tools/scaling_bench.py
-runs THIS file at local[8] and local[32] and writes BENCH/BASELINE.md.
+runs THIS file pinned at local[4/8/16/32] and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -76,13 +76,13 @@ def main() -> None:
             return rows
         return deco
 
-    # ---- HEADLINE: spatial join + tile assignment at 64× lineitem scale.
+    # ---- HEADLINE: spatial join + tile assignment at 512× lineitem scale.
     # Points derive from a range (same formula as the sf tables) so the
     # stage is compute-bound — the honest proxy for the 10^12-row design
     # point where per-row work, not job overhead, dominates.
     n_li = li.count()
 
-    xl_mult = int(os.environ.get("SPARK_GRAFT_XL_MULT", "64"))
+    xl_mult = int(os.environ.get("SPARK_GRAFT_XL_MULT", "512"))
 
     @timed("spatial_enrich_xl")
     def _spatial_xl():

@@ -18,11 +18,25 @@ disappeared rather than trusting the config.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int) -> None:
-    """Persist ``df`` bucketed + sorted by ``key`` (one-time shuffle)."""
+    """Persist ``df`` bucketed + sorted by ``key`` (one-time shuffle).
+
+    Drops any previous incarnation first: with a session-local (in-memory)
+    catalog a table from an earlier process isn't registered but its
+    warehouse directory survives, and saveAsTable refuses to create over
+    an existing location."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(wh.removeprefix("file:"), table)
+    if loc.startswith("/") and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     (df.write.mode("overwrite").format("parquet")
        .bucketBy(buckets, key).sortBy(key)
        .saveAsTable(table))  # managed: lives under spark.sql.warehouse.dir
