@@ -508,3 +508,41 @@ def q46(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding")
     cv = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     return cosine_topk_ivf(qv, cv, k=5, n_centroids=16, n_probe=4)
+
+
+# ------------------------------------------------- q47 image phash near-dup
+# Image near-duplicates over the input_hint table's phash:int64 column.
+# The derived phash is pure 64-bit-safe integer math both engines compute
+# identically; planted copies flip one bit, so ground truth (the O(n²)
+# bit_count cross join, fine at oracle scale) must equal the banded
+# pigeonhole plan's output EXACTLY — this oracle proves the 4×16 banding
+# misses nothing at hamming ≤ 3.
+_PHASH = ("((doc_id * 1103515245 + 12345) % 2147483648) * 2147483648"
+          " + ((doc_id * 69069 + 1) % 2147483648)")
+
+
+@q("q47_phash_near_dup", f"""
+WITH img AS (
+  SELECT doc_id AS image_id, {_PHASH} AS phash FROM documents
+  UNION ALL
+  SELECT doc_id + 400000 AS image_id,
+         xor({_PHASH}, (CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INTEGER))) AS phash
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM img a JOIN img b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""")
+def q47(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.dedup import phash_near_pairs
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h1 = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    h2 = (F.col("doc_id") * 69069 + 1) % 2147483648
+    phash = (h1 * F.lit(2147483648) + h2).cast("long")
+    base = d.select(F.col("doc_id").alias("image_id"), phash.alias("phash"))
+    flip = F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 63 as int))")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 400000).alias("image_id"),
+        phash.bitwiseXOR(flip).alias("phash"))
+    return phash_near_pairs(base.unionByName(dup), "image_id", "phash",
+                            max_hamming=3)

@@ -260,26 +260,27 @@ def with_simhash64(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
 
 
-def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text",
+def hamming_near_pairs(df: DataFrame, id_col: str, hash_col: str,
                        max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by 64-bit simhash Hamming distance ≤ max_hamming.
+    """Near-dup pairs over ANY int64 fingerprint column by Hamming
+    distance ≤ max_hamming (≤ 3 guaranteed-complete).
 
-    Scale plan — the classic 4-band pigeonhole: split the 64-bit hash into
+    Scale plan — the classic 4-band pigeonhole: split the 64 bits into
     4 × 16-bit bands; any pair within Hamming ≤ 3 matches exactly on ≥ 1
     band (pigeonhole over 4 bands), so candidates come from 4 bucket
     self-joins, then the exact popcount filter runs on candidates only.
+    Serves both text simhash64 and image perceptual-hash (``phash``)
+    columns — the image near-dup path of the input_hint schema.
     """
-    sh = with_simhash64(docs, id_col, text_col)
     bands = []
     for b in range(4):
-        band = F.shiftrightunsigned(F.col("simhash64"), b * 16) % F.lit(65536)
+        band = F.shiftrightunsigned(F.col(hash_col), b * 16) % F.lit(65536)
         bands.append(F.struct(F.lit(b).alias("band_idx"), band.alias("band_val")))
-    keyed = (sh.select(id_col, "simhash64", F.explode(F.array(*bands)).alias("b"))
-             .select(id_col, "simhash64", "b.band_idx", "b.band_val"))
-    a = keyed.select(F.col(id_col).alias("id_a"), F.col("simhash64").alias("h_a"),
+    keyed = (df.select(id_col, hash_col, F.explode(F.array(*bands)).alias("b"))
+             .select(id_col, hash_col, F.col("b.band_idx"), F.col("b.band_val")))
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"),
                      "band_idx", "band_val")
-    b_ = keyed.select(F.col(id_col).alias("id_b"), F.col("simhash64").alias("h_b"),
+    b_ = keyed.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"),
                       "band_idx", "band_val")
     cand = (a.join(b_, ["band_idx", "band_val"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -288,3 +289,20 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def phash_near_pairs(images: DataFrame, id_col: str = "image_id",
+                     phash_col: str = "phash",
+                     max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicates by perceptual-hash Hamming distance — the
+    banded plan over the input_hint table's ``phash:int64`` column."""
+    return hamming_near_pairs(images, id_col, phash_col, max_hamming)
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by 64-bit simhash Hamming distance ≤ max_hamming
+    (see hamming_near_pairs for the banded plan)."""
+    sh = with_simhash64(docs, id_col, text_col)
+    return hamming_near_pairs(sh, id_col, "simhash64", max_hamming)
