@@ -81,6 +81,36 @@ def main() -> None:
     audit("salted two-phase agg", Q2["q32_salted_agg"](spark, SF),
           must=["HashAggregate"], must_not=["CartesianProduct"])
 
+    # 5b. headline spatial enrich: the rect containment test is an
+    # inequality-only predicate, so against a tiny broadcast rect set the
+    # RIGHT plan is BroadcastNestedLoopJoin (each point scans ~25 rects in
+    # registers — this IS the rect-PIP test; large polygon sets take
+    # pip_join's cell equi-join instead). Only one shuffle: the final
+    # partial->final aggregate. No Python in the loop. (AQE hides
+    # [codegen id] annotations pre-execution, so codegen is asserted on
+    # the non-adaptive audits above.)
+    from p3_osm_transformer_spark.contract import point_cols
+    from p3_osm_transformer_spark.operators.pip import pip_join_rect
+    from p3_osm_transformer_spark.operators.tile_assign import assign_tiles
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    key = F.col("id") + 1
+    lon, lat = point_cols(key)
+    hpts = spark.range(0, 100000).select(
+        key.alias("point_id"), lon.alias("lon"), lat.alias("lat"))
+    rects = nat.select(
+        "n_nationkey",
+        ((((F.col("n_nationkey") * 131) % 340) - 170.0)).alias("bbox_lon0"),
+        ((((F.col("n_nationkey") * 89) % 150) - 75.0)).alias("bbox_lat0")) \
+        .withColumn("bbox_lon1", F.col("bbox_lon0") + 30.0) \
+        .withColumn("bbox_lat1", F.col("bbox_lat0") + 20.0)
+    htiled = assign_tiles(hpts, zooms=(12, 15), cell_resolutions=(7, 8, 9, 10))
+    hagg = (pip_join_rect(htiled, F.broadcast(rects))
+            .groupBy("n_nationkey")
+            .agg(F.count("*").alias("n_pts"), F.sum("tile_z15").alias("cs")))
+    audit("headline spatial enrich + tile agg", hagg,
+          must=["BroadcastNestedLoopJoin", "HashAggregate", "BroadcastExchange"],
+          must_not=["CartesianProduct", "SortMergeJoin", "BatchEvalPython"])
+
     # 6. kNN k=1: the agg path must plan as partial-aggregable HashAggregate
     # (map-side combine before the shuffle) with NO analytic Window, and the
     # small address side must broadcast into the probe join.
