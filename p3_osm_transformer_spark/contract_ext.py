@@ -360,7 +360,59 @@ def q37(spark, sf_dir):
 
 
 # S2-style cube-face cells — pandas-UDF path, not SQL-expressible (rows-only)
-@q("q38_s2z_cells")
+def _s2z_cte(lon: str, lat: str, level: int) -> str:
+    """DuckDB CTE chain replaying functions/s2z.py exactly: lon/lat → unit
+    XYZ → cube face (+3 for negative major) → per-face (u,v) → quadratic
+    st → (i,j) → Morton interleave → packed id.  Generated, like the
+    numpy twin, so the two stay in visual lockstep."""
+    n = 1 << level
+    morton = " + ".join(
+        f"(((i >> {b}) & 1) * {1 << (2 * b + 1)}) + (((j >> {b}) & 1) * {1 << (2 * b)})"
+        for b in range(level))
+    return f"""
+xyz AS (
+  SELECT *, cos(radians({lat})) * cos(radians({lon})) AS x,
+            cos(radians({lat})) * sin(radians({lon})) AS y,
+            sin(radians({lat})) AS z
+  FROM pts),
+faced AS (
+  SELECT *, CASE WHEN abs(x) >= abs(y)
+                 THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+                 ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS f0
+  FROM xyz),
+faced2 AS (
+  SELECT *, CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                 THEN f0 + 3 ELSE f0 END AS face
+  FROM faced),
+uv AS (
+  SELECT *, CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                      WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+            CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                      WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+  FROM faced2),
+st AS (
+  SELECT *, CASE WHEN u >= 0 THEN 0.5 * sqrt(greatest(1 + 3 * u, 0))
+                 ELSE 1 - 0.5 * sqrt(greatest(1 - 3 * u, 0)) END AS su,
+            CASE WHEN v >= 0 THEN 0.5 * sqrt(greatest(1 + 3 * v, 0))
+                 ELSE 1 - 0.5 * sqrt(greatest(1 - 3 * v, 0)) END AS sv
+  FROM uv),
+ij AS (
+  SELECT *, GREATEST(LEAST(CAST(FLOOR(su * {n}) AS BIGINT), {n - 1}), 0) AS i,
+            GREATEST(LEAST(CAST(FLOOR(sv * {n}) AS BIGINT), {n - 1}), 0) AS j
+  FROM st),
+cells AS (
+  SELECT *, CAST(face AS BIGINT) * {1 << 58} + ({morton}) * 32 + {level} AS s2z
+  FROM ij)
+"""
+
+
+@q("q38_s2z_cells", f"""
+WITH pts AS (
+  SELECT c_custkey, {point_sql('c_custkey')[0]} AS lon,
+         {point_sql('c_custkey')[1]} AS lat FROM customer),
+{_s2z_cte('lon', 'lat', 12)}
+SELECT face, COUNT(*) AS n_points FROM cells GROUP BY face ORDER BY face
+""")
 def q38(spark, sf_dir):
     from p3_osm_transformer_spark.functions.s2z import s2z_cell
     c = _t(spark, sf_dir, "customer")
@@ -369,6 +421,23 @@ def q38(spark, sf_dir):
     return (cells.groupBy(F.shiftright("s2z", 58).alias("face"))
             .agg(F.count("*").alias("n_points"))
             .orderBy("face"))
+
+
+# full packed s2z id per point — proves the whole numpy pipeline (face,
+# quadratic st, Morton interleave, bit packing) value-for-value against
+# the generated-SQL replay
+@q("q48_s2z_ids", f"""
+WITH pts AS (
+  SELECT c_custkey, {point_sql('c_custkey')[0]} AS lon,
+         {point_sql('c_custkey')[1]} AS lat FROM customer),
+{_s2z_cte('lon', 'lat', 12)}
+SELECT c_custkey, s2z FROM cells
+""")
+def q48(spark, sf_dir):
+    from p3_osm_transformer_spark.functions.s2z import s2z_cell
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = point_cols(F.col("c_custkey"))
+    return c.select("c_custkey", s2z_cell(lon, lat, 12).alias("s2z"))
 
 
 # running analytic window (frame clause) over the events stream table
