@@ -36,12 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
     # image+caption table derived deterministically from the documents
     # table (caption text) + synthetic R16F payloads keyed by doc_id.
     from p3_osm_transformer_spark.contract import point_cols
+    from p3_osm_transformer_spark.operators.exif import exif_jpeg_bytes
     from p3_osm_transformer_spark.operators.images import (
         phash_of_bytes, synth_image_bytes)
     lon, lat = point_cols(F.col("doc_id") + 17)
-    has_geo = F.col("doc_id") % 10 < 9
+    # north-star geotag carriers: 80% caption-tagged, 10% EXIF-only
+    # (caption plain, GPS in the JPEG bytes), 10% no geotag at all
+    has_caption_geo = F.col("doc_id") % 10 < 8
+    exif_only = F.col("doc_id") % 10 == 8
     caption = F.when(
-        has_geo,
+        has_caption_geo,
         F.concat(F.substring("text", 1, 60), F.lit(" @ geo:"),
                  F.format_string("%.7f", lat), F.lit(","),
                  F.format_string("%.7f", lon))
@@ -50,15 +54,19 @@ def entry(spark: SparkSession) -> DataFrame:
         F.format_string("img-%08d", F.col("doc_id")).alias("image_id"),
         F.lit(64).alias("w"), F.lit(64).alias("h"),
         F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpeg").alias("fmt"),
-        caption.alias("caption"), F.col("doc_id").alias("_seed"))
-        .withColumn("bytes", synth_image_bytes("_seed", "w", "h", "fmt"))
+        caption.alias("caption"), F.col("doc_id").alias("_seed"),
+        exif_only.alias("_exif"), lat.alias("_lat"), lon.alias("_lon"))
+        .withColumn("bytes", F.when(
+            F.col("_exif"), exif_jpeg_bytes("_lat", "_lon")).otherwise(
+            synth_image_bytes("_seed", "w", "h", "fmt")))
         .withColumn("phash", phash_of_bytes("bytes"))
         .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash"))
 
     nodes = fx.osm_nodes(spark, 2000)
     ways = fx.osm_ways(spark, 400, 2000)
     addresses = build_addresses(nodes, ways)
-    return enrich_images(images, addresses, knn_strategy="ring")
+    return enrich_images(images, addresses, knn_strategy="ring",
+                         geotag="caption+exif")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

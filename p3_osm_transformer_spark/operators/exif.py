@@ -177,6 +177,14 @@ def build_jpeg_with_exif_gps(lat: float, lon: float,
     return _SOI + app1 + b"\xff\xd9"
 
 
+@F.pandas_udf(T.BinaryType())
+def exif_jpeg_bytes(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    """Fixture generator as a vectorized UDF: JPEG bytes carrying the given
+    GPS coordinates (deterministic; used to plant EXIF-only rows)."""
+    return pd.Series([build_jpeg_with_exif_gps(float(a), float(b))
+                      for a, b in zip(lat, lon)])
+
+
 # ---------------------------------------------------------------- Spark surface
 
 def extract_exif_geotag(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:

@@ -164,4 +164,12 @@ def synth_image_bytes(seed: pd.Series, w: pd.Series, h: pd.Series,
 
 @F.pandas_udf(T.LongType())
 def phash_of_bytes(b: pd.Series) -> pd.Series:
-    return pd.Series([phash64(decode_bytes(bytes(x))) for x in b])
+    """Perceptual hash per payload; container formats this sandbox cannot
+    decode (real JPEG/PNG) yield NULL — dirty-data path, not an error."""
+    out = []
+    for x in b:
+        try:
+            out.append(phash64(decode_bytes(bytes(x))))
+        except (NotImplementedError, ValueError, struct.error):
+            out.append(None)
+    return pd.Series(out, dtype="object")

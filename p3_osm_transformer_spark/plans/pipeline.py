@@ -25,8 +25,16 @@ from p3_osm_transformer_spark.operators.tile_assign import assign_tiles
 
 
 def enrich_images(images: DataFrame, addresses: DataFrame,
-                  knn_strategy: str = "ring") -> DataFrame:
-    tagged = extract_geotag(images).drop("bytes")
+                  knn_strategy: str = "ring",
+                  geotag: str = "caption") -> DataFrame:
+    if geotag == "caption+exif":
+        # north-star rule: caption regexp (codegen) wins; EXIF GPS parse
+        # (Arrow UDF) only ever sees the caption-misses
+        from p3_osm_transformer_spark.operators.exif import (
+            geotag_caption_or_exif)
+        tagged = geotag_caption_or_exif(images).drop("bytes")
+    else:
+        tagged = extract_geotag(images).drop("bytes")
     geo = tagged.filter(F.col("lat").isNotNull())
     geo = assign_tiles(geo)
 
