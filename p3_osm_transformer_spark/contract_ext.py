@@ -615,3 +615,39 @@ def q47(spark, sf_dir):
         phash.bitwiseXOR(flip).alias("phash"))
     return phash_near_pairs(base.unionByName(dup), "image_id", "phash",
                             max_hamming=3)
+
+
+# ------------------------------------------ q49 embedding-cosine near-dup
+# The exact (brute twin) form of cosine_near_dup_pairs is oracle-checkable;
+# the LSH-prefiltered scale plan is pytest-verified (planted recall >= 0.9,
+# zero false positives) in test_training_ops.py.  Near-dups are planted by
+# a constant-shift perturbation — identical float math in both engines.
+@q("q49_embed_near_dup", """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < 200
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.03) AS e
+  FROM embeddings WHERE vec_id < 200),
+n AS (
+  SELECT vec_id, list_transform(e, x -> x /
+    sqrt(list_aggregate(list_transform(e, y -> y * y), 'sum'))) AS u
+  FROM vecs)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE (SELECT SUM(a.u[g] * b.u[g]) FROM generate_series(1, 64) gs(g)) >= 0.95
+""")
+def q49(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.simsearch import (
+        cosine_near_dup_brute)
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = e.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    pert = e.select((F.col("vec_id") + 10000).alias("vec_id"), F.transform(
+        "embedding", lambda x: x.cast("double") + 0.03).alias("embedding"))
+    # pair membership is robust (planted pairs ~0.97 vs threshold 0.95);
+    # the displayed cosine is NOT emitted — summation order differs between
+    # engines at the 4th decimal, and ids are the semantic output anyway
+    pairs = cosine_near_dup_brute(base.unionByName(pert), threshold=0.95)
+    return pairs.select("id_a", "id_b")

@@ -193,3 +193,50 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, c_id, F.round("cos_sim", 6).alias("cos_sim"), "rank"))
+
+
+def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id",
+                          n_planes: int = 12, prefix_bits: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the last dedup modality the
+    training pipeline needs: (id_a < id_b, cos_sim) for all pairs with
+    cosine ≥ threshold, found via the same sketch-bucket self-join shape
+    as minhash/simhash dedup (LSH prefilter → exact verify on candidates
+    only).  Multi-probe (own prefix + 1-bit flips) keeps recall high for
+    thresholds ≥ ~0.9; exact verification means zero false positives.
+
+    ``cosine_near_dup_brute`` is the oracle twin (exact, O(n²))."""
+    v = vectors.select(F.col(id_col), F.col("embedding"),
+                       sketch_bits("embedding", n_planes).alias("_sk"))
+    probes = F.array(*(
+        [F.substring("_sk", 1, prefix_bits)]
+        + [F.concat(F.substring("_sk", 1, i),
+                    F.when(F.substring("_sk", i + 1, 1) == "1", "0").otherwise("1"),
+                    F.substring("_sk", i + 2, prefix_bits - i - 1))
+           for i in range(prefix_bits)]))
+    a = (v.withColumn("_bucket", F.explode(F.array_distinct(probes)))
+         .select(F.col(id_col).alias("id_a"), F.col("embedding").alias("_ea"),
+                 "_bucket"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("_eb"),
+                 F.substring("_sk", 1, prefix_bits).alias("_bucket"))
+    sim = _dot("_ea", "_eb") / (_norm("_ea") * _norm("_eb"))
+    return (a.join(b, "_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_ea", "_eb").distinct()
+            .withColumn("cos_sim", F.round(sim, 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+def cosine_near_dup_brute(vectors: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id") -> DataFrame:
+    """Exact O(n²) twin of cosine_near_dup_pairs (test oracle)."""
+    a = vectors.select(F.col(id_col).alias("id_a"),
+                       F.col("embedding").alias("_ea"))
+    b = vectors.select(F.col(id_col).alias("id_b"),
+                       F.col("embedding").alias("_eb"))
+    sim = _dot("_ea", "_eb") / (_norm("_ea") * _norm("_eb"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", F.round(sim, 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))

@@ -129,3 +129,29 @@ def test_cosine_topk_ivf_planted(spark):
     exact = simsearch.cosine_topk_brute(q, c, k=1)
     ivf = simsearch.cosine_topk_ivf(q, c, k=1, n_centroids=8, n_probe=3)
     assert simsearch.lsh_recall(exact, ivf) >= 0.9
+
+
+def test_cosine_near_dup_planted(spark):
+    """Planted near-identical embeddings: LSH-prefiltered pair detection
+    must find ≥90% of true pairs (recall) with zero false positives
+    (exact verify) vs the brute-force oracle."""
+    import numpy as np
+    from p3_osm_transformer_spark.operators.simsearch import (
+        cosine_near_dup_brute, cosine_near_dup_pairs)
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 16).astype(np.float64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    # plant: ids 200+i are tiny perturbations of ids i (i % 4 == 0)
+    for i in range(0, 120, 4):
+        pert = base[i] + rng.randn(16) * 0.01
+        rows.append((200 + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_near_dup_brute(df, threshold=0.95).collect()}
+    got = {(r.id_a, r.id_b) for r in
+           cosine_near_dup_pairs(df, threshold=0.95).collect()}
+    assert len(exact) >= 30                      # the planted pairs exist
+    assert got <= exact                          # exact verify: no FPs
+    assert len(got & exact) / len(exact) >= 0.9  # LSH recall
