@@ -474,7 +474,7 @@ def q22(spark, sf_dir):
 
 # event sessionization — lag window + gap rule (streaming-adjacent, batch form)
 @q("q23_sessionize", """
-SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions FROM (
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -223,7 +223,7 @@ def q31(spark, sf_dir):
 
 # --------------------------------------------------------- q32 salted agg
 @q("q32_salted_agg", f"""
-SELECT cell, COUNT(*) AS n, SUM(k) AS sk, MAX(k) AS mx FROM (
+SELECT cell, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sk, MAX(k) AS mx FROM (
   SELECT {cell_id_sql(point_sql('l_orderkey * 8 + l_linenumber')[0],
                       point_sql('l_orderkey * 8 + l_linenumber')[1], 12)} AS cell,
          l_orderkey * 8 + l_linenumber AS k
@@ -333,7 +333,7 @@ def q35(spark, sf_dir):
 # predicates; events.props is the testdata's semi-structured column)
 @q("q36_json_props", """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events WHERE event_type IN ('click', 'view')
 GROUP BY event_type
 """)

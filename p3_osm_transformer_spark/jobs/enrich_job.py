@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="snapshot catalog root (Iceberg-seam directory)")
     p.add_argument("--table", default="enriched_images")
     p.add_argument("--knn-strategy", choices=["ring", "brute"], default="ring")
+    p.add_argument("--geotag", choices=["caption+exif", "caption"],
+                   default="caption+exif",
+                   help="geotag rule: caption regexp with EXIF GPS fallback "
+                        "(the flagship composition, default) or caption-only")
     p.add_argument("--repartition-cells", type=int, default=0,
                    help="if >0, repartition output by coarse cell into this "
                         "many partitions before the snapshot write (cluster "
@@ -58,7 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     catalog = Catalog(args.catalog_root)
 
     def transform(todo):
-        out = enrich_images(todo, addresses, knn_strategy=args.knn_strategy)
+        out = enrich_images(todo, addresses, knn_strategy=args.knn_strategy,
+                            geotag=args.geotag)
         if args.repartition_cells > 0:
             out = out.repartition(args.repartition_cells, F.col("cell_r7"))
         return out

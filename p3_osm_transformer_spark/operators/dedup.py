@@ -136,20 +136,27 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     m docs contributes m(m-1)/2 pairs; dropping buckets over the cap bounds
     the blow-up and the dropped content is by construction near-identical —
     exact-dedup (cheap) already collapses it.
+
+    Cache hygiene: the band table feeds a size filter AND both sides of the
+    pair self-join, so it is cached for the duration of the candidate join,
+    the (small, capped) pair set is materialized eagerly, and the cache is
+    released before returning — repeated calls in one session accrete no
+    storage memory.  At warehouse scale the cache becomes a persisted
+    signatures table instead.
     """
-    # the band table feeds a size-filter join AND both sides of the pair
-    # self-join — cache it so the signature computation runs once (at
-    # warehouse scale this is a persisted signatures table instead)
     bands = minhash_bands(docs, id_col, text_col, n_hashes, band_size,
                           shingle_n).cache()
     sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("_bn"))
-    bands = (bands.join(sizes, ["band_idx", "band_key"])
-             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
-    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
-    return (a.join(b, ["band_idx", "band_key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    kept = (bands.join(sizes, ["band_idx", "band_key"])
+            .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = kept.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = kept.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    pairs = (a.join(b, ["band_idx", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct()
+             .localCheckpoint(eager=True))
+    bands.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------- jaccard
@@ -166,16 +173,21 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame,
         F.transform(F.sequence(F.lit(0), F.size("_toks") - shingle_n),
                     lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, shingle_n)))
     ).otherwise(F.array(F.concat_ws(" ", "_toks")))
-    # joined twice (id_a and id_b sides) — cache the shingle-set table
+    # joined twice (id_a and id_b sides) — cache the shingle-set table for
+    # the duration of the verify join, materialize the (small) verified
+    # pair set, release the cache before returning (no session accretion)
     sh = tk.select(F.col(id_col), F.array_distinct(sh_expr).alias("sh")).cache()
     j = (pairs
          .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (j.withColumn("jaccard", F.round(inter / union, 6))
-             .filter(F.col("jaccard") >= threshold)
-             .select("id_a", "id_b", "jaccard"))
+    out = (j.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True))
+    sh.unpersist()
+    return out
 
 
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -261,7 +273,8 @@ def with_simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 
 def hamming_near_pairs(df: DataFrame, id_col: str, hash_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket: int = 1000) -> DataFrame:
     """Near-dup pairs over ANY int64 fingerprint column by Hamming
     distance ≤ max_hamming (≤ 3 guaranteed-complete).
 
@@ -271,24 +284,48 @@ def hamming_near_pairs(df: DataFrame, id_col: str, hash_col: str,
     self-joins, then the exact popcount filter runs on candidates only.
     Serves both text simhash64 and image perceptual-hash (``phash``)
     columns — the image near-dup path of the input_hint schema.
+
+    Band values are extracted with ``>>> b*16 & 0xFFFF`` — a sign-safe
+    unsigned mask, NOT ``% 65536`` (Spark's ``%`` is sign-preserving, so
+    negative int64 fingerprints — bit 63 set, ~half of real simhash/phash
+    outputs — would get a different band-0 value than a positive hash with
+    identical low 16 bits, silently dropping pairs whose only matching
+    band is band 0).
+
+    ``max_bucket`` drops degenerate hot band-buckets (solid-color images,
+    boilerplate text share a band value by the thousands → m²/2 candidate
+    blow-up); the dropped content is near-identical by construction, which
+    exact dedup (cheap, runs first in any real pipeline) already collapses
+    — same trade as ``lsh_candidate_pairs``.
     """
     bands = []
     for b in range(4):
-        band = F.shiftrightunsigned(F.col(hash_col), b * 16) % F.lit(65536)
+        band = (F.shiftrightunsigned(F.col(hash_col), b * 16)
+                .bitwiseAND(F.lit(65535)))
         bands.append(F.struct(F.lit(b).alias("band_idx"), band.alias("band_val")))
+    # the band table feeds the size filter AND both self-join sides (and
+    # the fingerprint may come from a Python mapInPandas stage) — cache for
+    # the candidate join, materialize the small pair set, release
     keyed = (df.select(id_col, hash_col, F.explode(F.array(*bands)).alias("b"))
-             .select(id_col, hash_col, F.col("b.band_idx"), F.col("b.band_val")))
-    a = keyed.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"),
+             .select(id_col, hash_col, F.col("b.band_idx"), F.col("b.band_val"))
+             .cache())
+    sizes = keyed.groupBy("band_idx", "band_val").agg(F.count("*").alias("_bn"))
+    kept = (keyed.join(sizes, ["band_idx", "band_val"])
+            .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = kept.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"),
+                    "band_idx", "band_val")
+    b_ = kept.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"),
                      "band_idx", "band_val")
-    b_ = keyed.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"),
-                      "band_idx", "band_val")
     cand = (a.join(b_, ["band_idx", "band_val"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "h_a", "h_b").distinct())
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (cand.withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    out = (cand.withColumn("hamming", ham)
+           .filter(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming")
+           .localCheckpoint(eager=True))
+    keyed.unpersist()
+    return out
 
 
 def phash_near_pairs(images: DataFrame, id_col: str = "image_id",

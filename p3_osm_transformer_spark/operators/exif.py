@@ -209,13 +209,35 @@ def extract_exif_geotag(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 def geotag_caption_or_exif(df: DataFrame, caption: str = "caption",
                            bytes_col: str = "bytes") -> DataFrame:
     """North-star geotag rule: caption regexp (codegen) wins; EXIF GPS
-    fills rows the caption leaves NULL.  The EXIF (Python) stage only ever
-    sees caption-misses — the common path stays JVM-side."""
+    fills rows the caption leaves NULL.
+
+    Single-scan plan: the caption extract is a pure projection (no scan
+    split), then ONE Arrow pass fills the NULL rows from EXIF.  The heavy
+    binary column is nulled out for caption-hits BEFORE the Arrow exchange
+    (nulls cost nothing in Arrow), so Python only ever deserializes the
+    payloads of caption-misses — the common path's bytes never leave the
+    JVM, and the images table is scanned exactly once (the previous
+    hit/miss branch-and-union shape scanned it per branch).  The output
+    drops ``bytes_col``: every downstream consumer of the geotag rule
+    (tile assign, kNN join) is done with the payload at this point.
+    """
     from p3_osm_transformer_spark.operators.geotag import extract_geotag
     tagged = extract_geotag(df, caption)
-    hit = tagged.filter(F.col("lat").isNotNull())
-    miss = tagged.filter(F.col("lat").isNull()).drop("lat", "lon")
-    filled = (extract_exif_geotag(miss, bytes_col)
-              .withColumnRenamed("exif_lat", "lat")
-              .withColumnRenamed("exif_lon", "lon"))
-    return hit.unionByName(filled.select(*hit.columns))
+    slim = tagged.withColumn(
+        bytes_col, F.when(F.col("lat").isNull(), F.col(bytes_col)))
+    out_schema = T.StructType(
+        [f for f in slim.schema.fields if f.name != bytes_col])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            miss = pdf["lat"].isna()
+            if miss.any():
+                coords = [parse_exif_gps(b) for b in pdf.loc[miss, bytes_col]]
+                pdf.loc[miss, "lat"] = pd.array(
+                    [c[0] for c in coords], dtype="float64")
+                pdf.loc[miss, "lon"] = pd.array(
+                    [c[1] for c in coords], dtype="float64")
+            yield pdf[out_cols]
+
+    return slim.mapInPandas(gen, out_schema)

@@ -31,7 +31,8 @@ from p3_osm_transformer_spark.functions.geocell import (
 OUT_COLS = ["point_id", "addr_id", "dist_m", "knn_rank"]
 
 
-def _rank_topk(cand: DataFrame, point_id: str, k: int) -> DataFrame:
+def _rank_topk(cand: DataFrame, point_id: str, k: int,
+               carry: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic top-k per point, ordered by (dist, addr_id).
 
     k == 1 takes the aggregate path: ``min(struct(dist, addr_id))`` is
@@ -39,11 +40,17 @@ def _rank_topk(cand: DataFrame, point_id: str, k: int) -> DataFrame:
     probe join (the common plan) the map-side combine collapses them to
     one row per point per partition BEFORE the shuffle — the window
     variant shuffles every candidate pair.  Same tie-break (struct
-    comparison is lexicographic), same output, ~10× less shuffle."""
+    comparison is lexicographic), same output, ~10× less shuffle.
+
+    ``carry`` names extra per-point columns (functionally dependent on
+    point_id, e.g. the point's lat/lon) to keep on the output rows — the
+    ring loop needs them for its per-point termination bound without a
+    self-join back to the points table."""
     if k == 1:
         best = F.min(F.struct(F.col("dist_m"), F.col("addr_id"))).alias("_b")
-        return (cand.groupBy(point_id).agg(best)
-                    .select(point_id, F.col("_b.addr_id").alias("addr_id"),
+        return (cand.groupBy(point_id, *carry).agg(best)
+                    .select(point_id, *carry,
+                            F.col("_b.addr_id").alias("addr_id"),
                             F.col("_b.dist_m").alias("dist_m"),
                             F.lit(1).alias("knn_rank")))
     # general k: analytic window (SURVEY.md §2 W-ext)
@@ -51,7 +58,7 @@ def _rank_topk(cand: DataFrame, point_id: str, k: int) -> DataFrame:
     w = Window.partitionBy(point_id).orderBy(*order)
     return (cand.withColumn("knn_rank", F.row_number().over(w))
                 .filter(F.col("knn_rank") <= k)
-                .select(point_id, "addr_id", "dist_m", "knn_rank"))
+                .select(point_id, *carry, "addr_id", "dist_m", "knn_rank"))
 
 
 def knn_bruteforce(points: DataFrame, addresses: DataFrame,
@@ -87,6 +94,15 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
     (candidates beyond the probed ring cannot be closer).  Residual points
     go to the next round; after ``max_rounds`` the leftovers are brute-forced
     (at planet scale the leftovers are the ocean-photo tail — tiny).
+
+    Driver-loop discipline (the part that decides whether the iteration
+    scales): ONE heavy action per round (the ring join + top-k, whose small
+    resolved output is eagerly localCheckpoint'ed), the done-test folded
+    into that same pass as a per-row count/max window over the top-k rows
+    (no kth-aggregate self-join, no separate isEmpty() job), the shrinking
+    residual re-materialized from the checkpointed output (flat lineage),
+    and every per-round persist released before the next round — repeated
+    rounds accrete no storage memory and no lineage depth.
     """
     if g is None:
         g = pick_resolution(addresses.count())
@@ -95,7 +111,7 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
         cell_id(F.col("lon"), F.col("lat"), g).alias("a_cell")).cache()
 
     pts = points.withColumn("p_cell", cell_id(F.col("lon"), F.col("lat"), g)).cache()
-    resolved: DataFrame | None = None
+    resolved: list[DataFrame] = []
     # Termination bound: a point may stop expanding only if its kth-nearest
     # candidate is provably closer than ANY cell outside the probed box.
     # Exact per-point margin: the probed box spans [c-ring, c+ring+1) in
@@ -111,6 +127,12 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
     lon_edge_eq_m = 360.0 / (2**g) * deg_m
     n_cells = 2**g
 
+    def _union(dfs: list[DataFrame]) -> DataFrame:
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     for r in range(max_rounds):
         ring = start_ring * (2**r)
         cand = (expand_ring(pts, "p_cell", g, ring, out_col="probe_cell")
@@ -118,7 +140,10 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
                 .withColumn("dist_m", haversine_m(
                     F.col("lon"), F.col("lat"), F.col("a_lon"), F.col("a_lat")))
                 .drop("probe_cell", "a_cell"))
-        topk = _rank_topk(cand, point_id, k).cache()
+        # lat/lon carried through the top-k so the termination test is a
+        # per-row expression over the top-k output — no kth-aggregate
+        # self-join back to the points table
+        topk = _rank_topk(cand, point_id, k, carry=("lat", "lon"))
         band_lat = F.least(F.abs(F.col("lat")) + F.lit((ring + 1) * lat_cell_deg),
                            F.lit(89.9999))
         cx_f = (F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n_cells))
@@ -130,20 +155,39 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
         safe_radius = F.lit(0.999) * F.least(
             margin_x * F.lit(lon_edge_eq_m) * F.cos(F.radians(band_lat)),
             margin_y * F.lit(lat_edge_m))
-        plats = pts.select(point_id, "lat", "lon")
-        kth = (topk.groupBy(point_id)
-               .agg(F.max("dist_m").alias("_kth"), F.count("*").alias("_n"))
-               .join(plats, point_id))
-        done_ids = kth.filter((F.col("_n") >= k) & (F.col("_kth") <= safe_radius)) \
-                      .select(point_id)
-        got = topk.join(done_ids, point_id, "left_semi")
-        resolved = got if resolved is None else resolved.unionByName(got)
-        # cache the shrinking residual so each round's lineage stays flat
-        pts = pts.join(done_ids, point_id, "left_anti").cache()
+        if k == 1:
+            # aggregate path: one row per point already — count/kth are
+            # per-row constants, no window needed
+            st = (topk.withColumn("_n", F.lit(1))
+                      .withColumn("_kth", F.col("dist_m")))
+        else:
+            # count/kth as windows over the top-k rows (same point_id
+            # partitioning the rank already established — no extra shuffle)
+            wp = Window.partitionBy(point_id)
+            st = (topk.withColumn("_n", F.count("*").over(wp))
+                      .withColumn("_kth", F.max("dist_m").over(wp)))
+        # THE one heavy action this round: materialize the (small) resolved
+        # rows; flat lineage for everything derived from them
+        got = (st.filter((F.col("_n") >= k) & (F.col("_kth") <= safe_radius))
+               .select(point_id, "addr_id", "dist_m", "knn_rank")
+               .localCheckpoint(eager=True))
+        resolved.append(got)
+        done_ids = got.select(point_id).distinct()
+        # shrink the residual (cheap: cached pts ⋈ checkpointed small ids),
+        # release the previous round's cache deterministically
+        new_pts = pts.join(done_ids, point_id, "left_anti").cache()
+        n_residual = new_pts.count()
+        pts.unpersist()
+        pts = new_pts
         # early exit: with the exact margin bound most inputs resolve in
         # round 1 — don't pay another ring join + brute tail over nothing
-        if pts.isEmpty():
-            return resolved
+        if n_residual == 0:
+            pts.unpersist()
+            a.unpersist()
+            return _union(resolved)
 
-    leftovers = knn_bruteforce(pts.drop("p_cell"), addresses, point_id, k)
-    return resolved.unionByName(leftovers) if resolved is not None else leftovers
+    leftovers = (knn_bruteforce(pts.drop("p_cell"), addresses, point_id, k)
+                 .localCheckpoint(eager=True))
+    pts.unpersist()
+    a.unpersist()
+    return _union(resolved + [leftovers]) if resolved else leftovers

@@ -85,16 +85,46 @@ def sketch_bits(vec_col: str, n_planes: int = 16) -> F.Column:
     return F.concat(*bits)
 
 
+def pick_prefix_bits(n_corpus: int, target_bucket: int = 256) -> int:
+    """Bucket count must GROW with the corpus or the bucket join degenerates
+    toward the cross join it exists to avoid (candidates ≈ n²/2^bits): aim
+    for ~target_bucket vectors per bucket, i.e. bits ≈ log2(n/target).
+    The bucket count is also the parallelism ceiling of the candidate join,
+    so never fewer than 16 buckets (4 bits); capped at 24 bits (16M buckets)
+    — beyond that per-bucket occupancy, not bucket count, is the lever."""
+    import math
+    return max(4, min(24, math.ceil(math.log2(max(n_corpus, 2) / target_bucket))
+                      if n_corpus > target_bucket else 4))
+
+
 def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     q_id: str = "query_id", c_id: str = "neighbor_id",
-                    n_planes: int = 12, prefix_bits: int = 6) -> DataFrame:
+                    n_planes: int = 12, prefix_bits: int | None = None,
+                    max_bucket: int = 10_000) -> DataFrame:
     """ANN: sketch-prefix bucket join (multi-probe: exact prefix plus the
-    prefix_bits single-bit-flip neighbors) → exact cosine re-rank."""
+    prefix_bits single-bit-flip neighbors) → exact cosine re-rank.
+
+    ``prefix_bits=None`` (the default, and the only sane setting at scale)
+    derives the bucket count from the corpus size via ``pick_prefix_bits``
+    — one cheap count() against the (column-pruned) corpus scan.
+    ``max_bucket`` truncates degenerate hot buckets to their first
+    ``max_bucket`` members by id (deterministic): truncation — not
+    whole-bucket drop — because for *search* a dropped bucket would zero
+    recall for every query hashing into it, while a truncated bucket
+    degrades gracefully.
+    """
+    if prefix_bits is None:
+        prefix_bits = pick_prefix_bits(corpus.count())
+    if n_planes < prefix_bits:
+        n_planes = prefix_bits
     qs = queries.select(F.col(q_id), F.col("embedding").alias("_qe"),
                         sketch_bits("embedding", n_planes).alias("_sk"))
     cs = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"),
                        F.substring(sketch_bits("embedding", n_planes), 1,
                                    prefix_bits).alias("_bucket"))
+    wb = Window.partitionBy("_bucket").orderBy(c_id)
+    cs = (cs.withColumn("_bpos", F.row_number().over(wb))
+          .filter(F.col("_bpos") <= max_bucket).drop("_bpos"))
     # multi-probe: query probes its own prefix + all 1-bit flips of it
     probes = F.array(*(
         [F.substring("_sk", 1, prefix_bits)]
@@ -161,7 +191,7 @@ def _centroid_topn_udf(centroids, n_probe: int):
 
 def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     q_id: str = "query_id", c_id: str = "neighbor_id",
-                    n_centroids: int = 16, n_probe: int = 4,
+                    n_centroids: int | None = None, n_probe: int = 4,
                     sample_cap: int = 4096) -> DataFrame:
     """IVF ANN: k-means coarse centroids → corpus bucketed by nearest
     centroid → queries probe n_probe buckets → exact re-rank.
@@ -171,11 +201,22 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
     Iceberg table); training is the only driver-side step and is O(sample ×
     centroids).  Assignment/probing are Arrow-batched; the joins are plain
     equi-joins on centroid id.
+
+    ``n_centroids=None`` derives the list count from the corpus size — the
+    standard IVF sizing √n (per-list occupancy and list count grow together)
+    clamped to [16, 4096] and to sample_cap/4 so each centroid trains on ≥4
+    sample vectors.  A fixed list count would cap both pruning power and
+    the bucket join's parallelism as the corpus grows.
     """
+    if n_centroids is None:
+        import math
+        n_corpus = corpus.count()
+        n_centroids = max(16, min(4096, sample_cap // 4,
+                                  round(math.sqrt(max(n_corpus, 1)))))
     sample = [r["embedding"] for r in
               corpus.select(F.col(c_id), "embedding")
                     .orderBy(c_id).limit(sample_cap).collect()]
-    cents = train_centroids_np(sample, n_centroids)
+    cents = train_centroids_np(sample, min(n_centroids, max(len(sample), 1)))
 
     assign1 = _centroid_topn_udf(cents, 1)
     cs = corpus.select(F.col(c_id), F.col("embedding").alias("_ce")) \
@@ -197,7 +238,8 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id",
-                          n_planes: int = 12, prefix_bits: int = 6) -> DataFrame:
+                          n_planes: int = 12, prefix_bits: int | None = None,
+                          max_bucket: int = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the last dedup modality the
     training pipeline needs: (id_a < id_b, cos_sim) for all pairs with
     cosine ≥ threshold, found via the same sketch-bucket self-join shape
@@ -205,7 +247,16 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     only).  Multi-probe (own prefix + 1-bit flips) keeps recall high for
     thresholds ≥ ~0.9; exact verification means zero false positives.
 
+    ``prefix_bits=None`` derives the bucket count from the corpus size
+    (``pick_prefix_bits``); ``max_bucket`` drops degenerate hot buckets
+    whole (dedup semantics, same trade as ``lsh_candidate_pairs``: the
+    dropped content is near-identical and exact dedup collapses it).
+
     ``cosine_near_dup_brute`` is the oracle twin (exact, O(n²))."""
+    if prefix_bits is None:
+        prefix_bits = pick_prefix_bits(vectors.count())
+    if n_planes < prefix_bits:
+        n_planes = prefix_bits
     v = vectors.select(F.col(id_col), F.col("embedding"),
                        sketch_bits("embedding", n_planes).alias("_sk"))
     probes = F.array(*(
@@ -219,6 +270,9 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                  "_bucket"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("_eb"),
                  F.substring("_sk", 1, prefix_bits).alias("_bucket"))
+    sizes = b.groupBy("_bucket").agg(F.count("*").alias("_bn"))
+    b = b.join(sizes.filter(F.col("_bn") <= max_bucket).select("_bucket"),
+               "_bucket")
     sim = _dot("_ea", "_eb") / (_norm("_ea") * _norm("_eb"))
     return (a.join(b, "_bucket")
             .filter(F.col("id_a") < F.col("id_b"))

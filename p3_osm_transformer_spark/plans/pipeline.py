@@ -29,12 +29,20 @@ def enrich_images(images: DataFrame, addresses: DataFrame,
                   geotag: str = "caption") -> DataFrame:
     if geotag == "caption+exif":
         # north-star rule: caption regexp (codegen) wins; EXIF GPS parse
-        # (Arrow UDF) only ever sees the caption-misses
+        # (Arrow UDF) only ever sees the caption-misses; single image scan
         from p3_osm_transformer_spark.operators.exif import (
             geotag_caption_or_exif)
-        tagged = geotag_caption_or_exif(images).drop("bytes")
+        tagged = geotag_caption_or_exif(images)
     else:
         tagged = extract_geotag(images).drop("bytes")
+    # tagged feeds the geo branch (tiles + kNN + join) AND the no-geo
+    # union branch — persist the (bytes-free, narrow) table at the branch
+    # point so the images scan + geotag pass run exactly once.  At
+    # warehouse scale this persist is the snapshot write between pipeline
+    # stages (sources/catalog.py); in one session MEMORY_AND_DISK is the
+    # same move.
+    from pyspark.storagelevel import StorageLevel
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     geo = tagged.filter(F.col("lat").isNotNull())
     geo = assign_tiles(geo)
 

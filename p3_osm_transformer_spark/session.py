@@ -32,11 +32,18 @@ _ENGINE_CONFS: dict[str, str] = {
 }
 
 # Bucketed tables (sources/bucketed.py) go through saveAsTable; keep the
-# warehouse out of the repo checkout.
+# warehouse out of the repo checkout.  User+PID-scoped so concurrent runs
+# (or different users on a shared host) never rmtree each other's bucketed
+# tables mid-test.
+import getpass  # noqa: E402
 import tempfile  # noqa: E402
 
+try:
+    _USER = getpass.getuser()
+except (KeyError, OSError):
+    _USER = "anon"
 _ENGINE_CONFS["spark.sql.warehouse.dir"] = os.path.join(
-    tempfile.gettempdir(), "spark_graft_warehouse")
+    tempfile.gettempdir(), f"spark_graft_warehouse_{_USER}_{os.getpid()}")
 
 
 def get_spark(

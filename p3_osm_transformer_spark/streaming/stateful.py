@@ -45,11 +45,17 @@ def first_seen_dedup(stream_df: DataFrame, key_col: str,
     def fn(key: Any, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         n_seen = state.get[0] if state.exists else 0
+        # Gate on whether the key was seen in a PREVIOUS micro-batch,
+        # captured before the chunk loop: one key's micro-batch arrives as
+        # multiple Arrow chunks when it exceeds arrow.maxRecordsPerBatch,
+        # and the min-order candidate may live in any chunk — gating on the
+        # running count would consider only the first chunk.
+        seen_before = n_seen > 0
         first: pd.DataFrame | None = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            if n_seen == 0:
+            if not seen_before:
                 cand = pdf.sort_values(order_col, kind="stable").head(1)
                 first = cand if first is None else (
                     pd.concat([first, cand])
@@ -75,11 +81,18 @@ def run_dedup_stream(spark, input_dir: str, schema, key_col: str,
     stay deduped (the snapshot-resume semantic, state-store edition)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     deduped = first_seen_dedup(stream, key_col, order_col)
-    (deduped.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination(300))
+    query = (deduped.writeStream
+             .outputMode("append")
+             .format("parquet")
+             .option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    finished = query.awaitTermination(300)
+    if not finished:
+        # never hand back partial parquet silently — stop the runaway
+        # query and surface the timeout to the caller
+        query.stop()
+        raise TimeoutError(
+            "dedup stream did not finish within 300s; output at "
+            f"{output_dir} is incomplete")
