@@ -201,23 +201,41 @@ def main() -> None:
         return _force(pixel_block_tiles(geo, block=16, zoom=18))
 
     # ---- training-data ops: near-dup dedup + ANN over the doc/embedding tables
+    # corpus replicated DEDUP_MULT× (replicas are true near-dups — one
+    # appended token) so the shingle explode + band self-join + jaccard
+    # verify, not job overhead, dominate the timing
     @timed("dedup_near")
     def _dedup():
         from p3_osm_transformer_spark.operators.dedup import dedup_near
+        mult = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", "8"))
         d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-        dup = d.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.concat("text", F.lit(" tail")).alias("text"))
-        return _force(dedup_near(d.unionByName(dup), threshold=0.7))
+        reps = d.crossJoin(spark.range(mult).select(F.col("id").alias("_r")))
+        corpus = reps.select(
+            (F.col("doc_id") + F.col("_r") * 1_000_000).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+             .otherwise(F.concat("text", F.lit(" rep"),
+                                 F.col("_r").cast("string"))).alias("text"))
+        return _force(dedup_near(corpus, threshold=0.7))
 
+    # ANN at a corpus size where the bucket join, not the task dispatcher,
+    # is the work: 100k synthetic 64-dim vectors (deterministic range
+    # derivation, same move as the headline).  prefix_bits=None exercises
+    # the corpus-derived bucket count — the fixed-16-bucket setting capped
+    # useful parallelism at 16 tasks and made the stage flat across core
+    # counts.
     @timed("ann_lsh")
     def _ann():
         from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
-        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        qv = e.filter(F.col("vec_id") < 50).select(
-            F.col("vec_id").alias("query_id"), "embedding")
-        cv = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-        return _force(cosine_topk_lsh(qv, cv, k=10, prefix_bits=4))
+        n_corpus = int(os.environ.get("SPARK_GRAFT_ANN_N", "100000"))
+        dims = F.sequence(F.lit(1), F.lit(64))
+        vec = F.transform(
+            dims, lambda d: (((F.col("id") + 1) * (d * 37 + 11) % 997)
+                             / 498.5 - 1.0).cast("double"))
+        corpus = spark.range(0, n_corpus).select(
+            F.col("id").alias("neighbor_id"), vec.alias("embedding"))
+        qv = spark.range(0, 200).select(
+            (F.col("id") + 5_000_000).alias("query_id"), vec.alias("embedding"))
+        return _force(cosine_topk_lsh(qv, corpus, k=10, prefix_bits=None))
 
     total = round(sum(timings.values()), 3)
     spatial_rps = round(headline_input_rows / timings["spatial_enrich_xl"], 1) \

@@ -210,15 +210,63 @@ def q30(spark, sf_dir):
                      F.round("dist_m", 1).alias("dist_m"))
 
 
-# ------------------------------------------- q31 ANN (rows-only, no oracle)
-@q("q31_ann_lsh")
-def q31(spark, sf_dir):
-    from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
+# --------------------------------------------------------- q31 ANN (LSH)
+# Oracle-checkable ANN: plant 5 EXACT copies of every query vector in the
+# corpus (ids +10000j).  An identical vector gets an identical sign sketch,
+# so the copies land in the query's own probe bucket — recall for the true
+# top-5 is provably 1.0 and the ANN output must equal the brute-force SQL
+# twin exactly (cos 1.0 ties broken by neighbor_id in both engines).  The
+# statistical recall on non-planted corpora stays pytest-gated
+# (test_training_ops.py); this row proves the bucket-join + re-rank + rank
+# window machinery end-to-end against DuckDB.
+_ANN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 * j AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings, generate_series(1, 5) gs(j) WHERE vec_id < 20),
+sims AS (
+  SELECT q.query_id, c.neighbor_id,
+         (SELECT SUM(q.e[g] * c.e[g]) FROM generate_series(1, 64) gs(g)) /
+         (sqrt(list_aggregate(list_transform(q.e, x -> x * x), 'sum')) *
+          sqrt(list_aggregate(list_transform(c.e, x -> x * x), 'sum'))) AS s
+  FROM q CROSS JOIN c WHERE q.query_id != c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _ann_planted_inputs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    cv = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return cosine_topk_lsh(qv, cv, k=5, prefix_bits=4)
+    copies = (e.filter(F.col("vec_id") < 20)
+              .crossJoin(spark.range(1, 6).select(F.col("id").alias("_j")))
+              .select((F.col("vec_id") + 10000 * F.col("_j"))
+                      .alias("neighbor_id"), "embedding"))
+    cv = (e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+          .unionByName(copies))
+    return qv, cv
+
+
+@q("q31_ann_lsh", _ANN_ORACLE)
+def q31(spark, sf_dir):
+    from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
+    qv, cv = _ann_planted_inputs(spark, sf_dir)
+    # prefix_bits=None → corpus-size-derived bucket count (the scale path)
+    out = cosine_topk_lsh(qv, cv, k=5, prefix_bits=None)
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 # --------------------------------------------------------- q32 salted agg
@@ -559,24 +607,67 @@ def q44(spark, sf_dir):
             .select("query_id", "neighbor_id", F.round(dot, 4).alias("cos_sim")))
 
 
-# 64-bit simhash banded near-dup pairs — python-hash construction, so no
-# SQL twin (rows-only); the 16-dim spec variant q26 carries the oracle.
-@q("q45_simhash64_pairs")
+# 64-bit simhash banded near-dup pairs.  The fingerprint is md5-derived
+# (dedup.py simhash64_np: per-token hash = first 8 bytes of md5, big-endian;
+# per-bit majority vote), which DuckDB replays EXACTLY via the hex-substring
+# cast — so the oracle recomputes every fingerprint from the raw text and
+# then applies the same contract the banded plan implements: popcount ≤ 6
+# AND ≥1 exact 16-bit band match (hamming ≤ 3 needs no band clause by
+# pigeonhole; 4..6 is the documented banded-recall regime, so the band
+# predicate IS the spec).  Negative fingerprints (~half of real corpora,
+# 183/600 here) exercise the sign-safe band extraction.
+@q("q45_simhash64_pairs", r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' extra tail words here' AS text
+  FROM documents WHERE doc_id % 5 = 0),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x != '')) AS w
+  FROM corpus),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h FROM tok),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN generate_series(0, 63) gs(b)
+  GROUP BY doc_id, b),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
+                       ELSE 0 END) AS HUGEINT) AS u
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(CAST(CASE WHEN a.u >= 9223372036854775808
+                               THEN a.u - 18446744073709551616 ELSE a.u END AS BIGINT),
+                     CAST(CASE WHEN b.u >= 9223372036854775808
+                               THEN b.u - 18446744073709551616 ELSE b.u END AS BIGINT)))
+         AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE hamming <= 6
+  AND ((CAST(a.u AS HUGEINT) >> 0)  % 65536 = (CAST(b.u AS HUGEINT) >> 0)  % 65536 OR
+       (CAST(a.u AS HUGEINT) >> 16) % 65536 = (CAST(b.u AS HUGEINT) >> 16) % 65536 OR
+       (CAST(a.u AS HUGEINT) >> 32) % 65536 = (CAST(b.u AS HUGEINT) >> 32) % 65536 OR
+       (CAST(a.u AS HUGEINT) >> 48) % 65536 = (CAST(b.u AS HUGEINT) >> 48) % 65536)
+""")
 def q45(spark, sf_dir):
     from p3_osm_transformer_spark.operators.dedup import simhash_near_pairs
     return simhash_near_pairs(_corpus_df(spark, sf_dir), max_hamming=6)
 
 
-# IVF ANN — data-adaptive buckets (k-means quantizer), rows-only; exact
-# re-rank correctness is pytest-verified against the brute-force oracle.
-@q("q46_ann_ivf")
+# IVF ANN with the q31 planted-copy oracle: an exact copy is assigned the
+# same nearest centroid its query probes first, so the true top-5 are
+# always in the probed lists and IVF output == brute SQL twin.  The
+# quantizer (n_centroids=None → √n sizing) trains on the deterministic
+# bounded sample; the oracle doesn't model centroids at all — it doesn't
+# need to, because recall is 1.0 by construction.
+@q("q46_ann_ivf", _ANN_ORACLE)
 def q46(spark, sf_dir):
     from p3_osm_transformer_spark.operators.simsearch import cosine_topk_ivf
-    e = _t(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    cv = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return cosine_topk_ivf(qv, cv, k=5, n_centroids=16, n_probe=4)
+    qv, cv = _ann_planted_inputs(spark, sf_dir)
+    out = cosine_topk_ivf(qv, cv, k=5, n_centroids=None, n_probe=4)
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 # ------------------------------------------------- q47 image phash near-dup
@@ -589,13 +680,24 @@ def q46(spark, sf_dir):
 _PHASH = ("((doc_id * 1103515245 + 12345) % 2147483648) * 2147483648"
           " + ((doc_id * 69069 + 1) % 2147483648)")
 
+# sign-planting: odd doc_ids get bit 63 set (negative int64 phash — half of
+# real perceptual-hash corpora) and the planted dup flips bit doc_id % 64
+# (INCLUDING bit 63, the sign bit) — regression fixture for the band-0
+# sign-extraction bug (a sign-preserving % would miss every pair whose
+# only matching band is band 0 across a sign flip).
+_SIGN63 = "CAST(-9223372036854775808 AS BIGINT)"
+_PHASH_S = (f"xor({_PHASH}, CASE WHEN doc_id % 2 = 1 THEN {_SIGN63} "
+            "ELSE CAST(0 AS BIGINT) END)")
+_FLIP64 = (f"CASE WHEN doc_id % 64 = 63 THEN {_SIGN63} "
+           "ELSE (CAST(1 AS BIGINT) << CAST(doc_id % 64 AS INTEGER)) END")
+
 
 @q("q47_phash_near_dup", f"""
 WITH img AS (
-  SELECT doc_id AS image_id, {_PHASH} AS phash FROM documents
+  SELECT doc_id AS image_id, {_PHASH_S} AS phash FROM documents
   UNION ALL
   SELECT doc_id + 400000 AS image_id,
-         xor({_PHASH}, (CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INTEGER))) AS phash
+         xor({_PHASH_S}, {_FLIP64}) AS phash
   FROM documents WHERE doc_id % 5 = 0)
 SELECT a.image_id AS id_a, b.image_id AS id_b,
        bit_count(xor(a.phash, b.phash)) AS hamming
@@ -607,9 +709,12 @@ def q47(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     h1 = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
     h2 = (F.col("doc_id") * 69069 + 1) % 2147483648
-    phash = (h1 * F.lit(2147483648) + h2).cast("long")
+    sign = F.when(F.col("doc_id") % 2 == 1,
+                  F.expr("shiftleft(cast(1 as bigint), 63)")
+                  ).otherwise(F.lit(0).cast("long"))
+    phash = (h1 * F.lit(2147483648) + h2).cast("long").bitwiseXOR(sign)
     base = d.select(F.col("doc_id").alias("image_id"), phash.alias("phash"))
-    flip = F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 63 as int))")
+    flip = F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 64 as int))")
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 400000).alias("image_id"),
         phash.bitwiseXOR(flip).alias("phash"))

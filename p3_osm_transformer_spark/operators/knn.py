@@ -41,6 +41,9 @@ def _rank_topk(cand: DataFrame, point_id: str, k: int,
     one row per point per partition BEFORE the shuffle — the window
     variant shuffles every candidate pair.  Same tie-break (struct
     comparison is lexicographic), same output, ~10× less shuffle.
+    (Struct-buffer min plans as a two-phase SortAggregate — Spark's
+    HashAggregate only takes mutable primitive buffers — but the partial
+    phase still runs below the Exchange, which is the part that matters.)
 
     ``carry`` names extra per-point columns (functionally dependent on
     point_id, e.g. the point's lat/lon) to keep on the output rows — the
@@ -84,7 +87,8 @@ def pick_resolution(n_addresses: int) -> int:
 
 def knn_ring(points: DataFrame, addresses: DataFrame,
              point_id: str = "point_id", k: int = 1, g: int | None = 15,
-             start_ring: int = 1, max_rounds: int = 3) -> DataFrame:
+             start_ring: int = 1, max_rounds: int = 3,
+             plan_probe: list | None = None) -> DataFrame:
     """Scale-path kNN via iterative cell-ring expansion.
 
     Round r probes rings of radius ``start_ring * 2^r``; points that found
@@ -166,11 +170,15 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
             wp = Window.partitionBy(point_id)
             st = (topk.withColumn("_n", F.count("*").over(wp))
                       .withColumn("_kth", F.max("dist_m").over(wp)))
+        final = (st.filter((F.col("_n") >= k) & (F.col("_kth") <= safe_radius))
+                 .select(point_id, "addr_id", "dist_m", "knn_rank"))
+        if plan_probe is not None:
+            # expose the per-round plan BEFORE the checkpoint hides it —
+            # this is the exact DataFrame the eager action below executes
+            plan_probe.append(final)
         # THE one heavy action this round: materialize the (small) resolved
         # rows; flat lineage for everything derived from them
-        got = (st.filter((F.col("_n") >= k) & (F.col("_kth") <= safe_radius))
-               .select(point_id, "addr_id", "dist_m", "knn_rank")
-               .localCheckpoint(eager=True))
+        got = final.localCheckpoint(eager=True)
         resolved.append(got)
         done_ids = got.select(point_id).distinct()
         # shrink the residual (cheap: cached pts ⋈ checkpointed small ids),

@@ -110,3 +110,28 @@ def test_bucketed_join_groupby_reuses_layout(spark):
     agg = joined.groupBy("cell").agg(F.sum("payload").alias("s"))
     assert not plan_has_shuffle(agg)
     assert agg.count() == 1000
+
+
+def test_first_seen_dedup_key_split_across_arrow_chunks(spark, tmp_path):
+    """Regression: when one key's micro-batch exceeds
+    arrow.maxRecordsPerBatch, applyInPandasWithState hands the key's rows
+    to the state fn as MULTIPLE pandas chunks — the min-order candidate
+    may live in any chunk, so gating candidate selection on the running
+    seen-count (instead of seen-before-this-batch) drops it."""
+    from p3_osm_transformer_spark.streaming.stateful import run_dedup_stream
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        # 30 rows, one key, DESCENDING image ids → the min-order row
+        # ("img-000") arrives in the LAST arrow chunk
+        rows = [(f"img-{i:03d}", 1, f"cap {i}") for i in range(29, -1, -1)]
+        indir, outdir, ckpt = (str(tmp_path / d) for d in ("in3", "out3", "ck3"))
+        _write_batch(spark, indir, rows)
+        run_dedup_stream(spark, indir, IMG_SCHEMA, key_col="phash",
+                         order_col="image_id", output_dir=outdir,
+                         checkpoint_dir=ckpt)
+        got = [r.image_id for r in spark.read.parquet(outdir).collect()]
+        assert got == ["img-000"]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -155,3 +155,102 @@ def test_cosine_near_dup_planted(spark):
     assert len(exact) >= 30                      # the planted pairs exist
     assert got <= exact                          # exact verify: no FPs
     assert len(got & exact) / len(exact) >= 0.9  # LSH recall
+
+
+def test_hamming_band0_sign_flip(spark):
+    """Regression: a Hamming≤3 pair whose ONLY matching band is band 0 and
+    whose signs differ (bit 63 flipped) must be found — a sign-preserving
+    band-0 extraction (% 65536 on a negative int64) silently drops it."""
+    base = 0x1234
+    flipped = base ^ (1 << 63) ^ (1 << 17) ^ (1 << 33)   # bands 1,2,3 differ
+    # two's-complement int64 view (negative)
+    flipped_i64 = flipped - (1 << 64) if flipped >= (1 << 63) else flipped
+    df = spark.createDataFrame([(1, base), (2, flipped_i64)],
+                               "id long, h long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in dedup.hamming_near_pairs(df, "id", "h", 3).collect()}
+    assert got == {(1, 2, 3)}
+
+
+def test_hamming_banded_equals_brute_with_negatives(spark):
+    """Banded plan == O(n²) popcount oracle at hamming≤3 on a corpus where
+    ~half the fingerprints are negative and flips include bit 63."""
+    rows = []
+    for i in range(200):
+        h = ((i * 1103515245 + 12345) % (1 << 31)) * (1 << 31) + i
+        if i % 2 == 1:
+            h ^= 1 << 63
+        rows.append((i, h - (1 << 64) if h >= (1 << 63) else h))
+    for i in range(0, 200, 5):                       # planted 1-bit flips
+        h = rows[i][1] ^ (1 << (i % 64))
+        rows.append((1000 + i, h - (1 << 64) if h >= (1 << 63) else
+                     (h + (1 << 64) if h < -(1 << 63) else h)))
+    df = spark.createDataFrame(rows, "id long, h long")
+    a = df.selectExpr("id as id_a", "h as h_a")
+    b = df.selectExpr("id as id_b", "h as h_b")
+    brute = {(r.id_a, r.id_b) for r in
+             a.crossJoin(b).filter("id_a < id_b")
+              .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= 3)
+              .collect()}
+    got = {(r.id_a, r.id_b) for r in
+           dedup.hamming_near_pairs(df, "id", "h", 3).collect()}
+    assert brute == got and len(got) >= 40
+
+
+def test_hamming_hot_bucket_cap(spark):
+    """max_bucket drops degenerate hot band-buckets (bounds the m²/2 pair
+    blow-up) while pairs outside the hot bucket survive."""
+    rows = [(i, 42) for i in range(50)]              # 50 identical hashes
+    far = (1 << 40) | (1 << 50) | (1 << 60)          # hamming 6 from 42
+    rows += [(100, far), (101, far ^ 2)]             # a normal near pair
+    df = spark.createDataFrame(rows, "id long, h long")
+    capped = {(r.id_a, r.id_b) for r in
+              dedup.hamming_near_pairs(df, "id", "h", 3,
+                                       max_bucket=10).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 50 and b < 50 for a, b in capped)
+    # default cap: hot group found in full
+    full = dedup.hamming_near_pairs(df, "id", "h", 3).count()
+    assert full == 50 * 49 // 2 + 1
+
+
+def test_prefix_bits_scale_with_corpus():
+    """Bucket count must grow with corpus size (the ANN parallelism
+    ceiling AND the n²/buckets candidate bound)."""
+    pb = simsearch.pick_prefix_bits
+    assert pb(1_000) >= 4
+    assert pb(100_000) > pb(1_000)
+    assert pb(100_000_000) > pb(100_000)
+    assert pb(10**12) <= 24                          # occupancy-lever regime
+    # derived bucket counts keep per-bucket occupancy near the target
+    for n in (10**5, 10**7, 10**9):
+        buckets = 2 ** pb(n)
+        assert n / buckets <= 1024                   # no degenerate buckets
+
+
+def test_ann_lsh_auto_bits_planted_recall(spark):
+    """cosine_topk_lsh with prefix_bits=None (corpus-derived) still finds
+    planted exact copies — identical vectors share a bucket at any bits."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(300, 16).astype(np.float64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    rows += [(1000 + i, [float(x) for x in base[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 20").selectExpr("vec_id as query_id", "embedding")
+    c = emb.selectExpr("vec_id as neighbor_id", "embedding")
+    out = simsearch.cosine_topk_lsh(q, c, k=1, prefix_bits=None)
+    top1 = {(r.query_id, r.neighbor_id) for r in out.filter("rank = 1").collect()}
+    assert top1 == {(i, 1000 + i) for i in range(20)}
+
+
+def test_dedup_caches_released(spark):
+    """dedup_near / hamming_near_pairs materialize-then-unpersist their
+    internal caches: repeated calls accrete no DataFrame cache entries."""
+    spark.catalog.clearCache()
+    c = _corpus(spark)
+    for _ in range(2):
+        dedup.dedup_near(c, threshold=0.7).count()
+        dedup.hamming_near_pairs(
+            c.selectExpr("doc_id as id", "doc_id * 7 as h"), "id", "h").count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -121,10 +121,43 @@ def main() -> None:
     kaddrs = supp.selectExpr("cast(s_suppkey as string) as addr_id") \
         .withColumn("lon", (F.col("addr_id").cast("long") * 37 % 360 - 180.0)) \
         .withColumn("lat", (F.col("addr_id").cast("long") * 17 % 170 - 85.0))
-    audit("knn k=1 agg path",
-          knn_ring(kpts, kaddrs, k=1, g=6, start_ring=1, max_rounds=1),
-          must=["HashAggregate", "BroadcastHashJoin"],
+    # the ring loop executes eagerly per round (one checkpointed action);
+    # plan_probe hands back the exact per-round DataFrame the action ran
+    probe: list = []
+    knn_ring(kpts, kaddrs, k=1, g=6, start_ring=1, max_rounds=1,
+             plan_probe=probe)
+    # struct-buffer min → two-phase SortAggregate (partial below the
+    # Exchange = map-side combine); the probe join must broadcast; never
+    # a Window (that would shuffle every candidate pair)
+    audit("knn k=1 agg path (round-1 plan)", probe[0],
+          must=["SortAggregate", "BroadcastHashJoin", "Exchange"],
           must_not=["Window", "CartesianProduct"])
+
+    # 6b. flagship geotag: caption+exif composition must scan the images
+    # table ONCE — caption regexp as a projection, one Arrow pass for the
+    # EXIF fill, both consumer branches (geo / no-geo) reading the persisted
+    # tagged table (InMemoryTableScan), never a second scan+MapInPandas.
+    from p3_osm_transformer_spark.plans.pipeline import enrich_images
+    from p3_osm_transformer_spark.sources.fixtures import images_table
+    fimgs = images_table(spark, 300)
+    fout = enrich_images(fimgs, kaddrs.selectExpr(
+        "addr_id", "'x' as street_address", "lat", "lon"),
+        knn_strategy="brute", geotag="caption+exif")
+    import re
+    fplan = plan_of(fout)
+    # every MapInPandas occurrence must be the SAME plan node (one geotag
+    # pass), re-printed only inside the InMemoryRelation each branch reads
+    mip_ids = set(re.findall(r"MapInPandas \((\d+)\)", fplan))
+    n_imts = fplan.count("InMemoryTableScan (")
+    ok = len(mip_ids) <= 1 and n_imts >= 2 and "InMemoryRelation" in fplan
+    checks.append(("flagship single-scan geotag", fplan,
+                   ["exactly one MapInPandas plan node (the single geotag "
+                    "pass), cached; >=2 InMemoryTableScan consumers"],
+                   ["a second MapInPandas node id (geotag re-run per "
+                    "branch)"]))
+    print(f"flagship single-scan geotag: {'OK' if ok else 'VIOLATION'} "
+          f"(distinct MapInPandas nodes={len(mip_ids)}, "
+          f"InMemoryTableScan={n_imts})")
 
     # 7. way geometries: posexplode+join+agg, shuffles bounded
     from p3_osm_transformer_spark.operators.osm import way_geometries

@@ -135,6 +135,31 @@ def main() -> None:
             f"{tph:,.0f} rows/s); suite-level wall-time speedup "
             f"{rl['value'] / rh['value']:.2f}×, efficiency {suite_eff:.3f}.")
         lines.append("")
+    # per-stage efficiency for the expensive iterative/bucketed stages —
+    # the headline number alone can hide a stage that stops scaling
+    if pairs:
+        lo, hi = pairs[-1]
+        rl, rh = results[lo], results[hi]
+        lines += [
+            f"## Per-stage scaling ({lo}→{hi} vCPUs)",
+            "",
+            "| stage | wall@{lo} (s) | wall@{hi} (s) | speedup | efficiency |"
+            .format(lo=lo, hi=hi),
+            "|---|---|---|---|---|",
+        ]
+        for stage in rl["queries"]:
+            tl, th = rl["queries"][stage], rh["queries"][stage]
+            sp = tl / th if th else 0.0
+            lines.append(f"| {stage} | {tl} | {th} | {sp:.2f}× | {sp / 4:.3f} |")
+        lines += [
+            "",
+            "Sub-second stages are fixed-overhead-dominated at this input",
+            "size (driver planning + job scheduling ≈ 0.2-0.5 s regardless",
+            "of cores); their efficiency column measures the scheduler, not",
+            "the plan. The stages sized to be work-dominated — the headline,",
+            "knn_ring, dedup_near, ann_lsh — are the scaling evidence.",
+            "",
+        ]
     lines += [
         "On a real N→4N *executor* scale-out, every added executor brings",
         "its own cores, memory bandwidth and shuffle disk — the resources",
