@@ -207,7 +207,7 @@ def main() -> None:
     @timed("dedup_near")
     def _dedup():
         from p3_osm_transformer_spark.operators.dedup import dedup_near
-        mult = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", "8"))
+        mult = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", "4"))
         d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
         reps = d.crossJoin(spark.range(mult).select(F.col("id").alias("_r")))
         corpus = reps.select(

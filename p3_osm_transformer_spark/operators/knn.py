@@ -170,32 +170,61 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
             wp = Window.partitionBy(point_id)
             st = (topk.withColumn("_n", F.count("*").over(wp))
                       .withColumn("_kth", F.max("dist_m").over(wp)))
-        final = (st.filter((F.col("_n") >= k) & (F.col("_kth") <= safe_radius))
-                 .select(point_id, "addr_id", "dist_m", "knn_rank"))
+        final = (st.withColumn("_done", (F.col("_n") >= k) &
+                               (F.col("_kth") <= safe_radius))
+                 .select(point_id, "addr_id", "dist_m", "knn_rank",
+                         "_n", "_kth", "_done"))
         if plan_probe is not None:
             # expose the per-round plan BEFORE the checkpoint hides it —
             # this is the exact DataFrame the eager action below executes
             plan_probe.append(final)
-        # THE one heavy action this round: materialize the (small) resolved
-        # rows; flat lineage for everything derived from them
-        got = final.localCheckpoint(eager=True)
+        # THE one heavy action this round: materialize ALL top-k rows (≤ k
+        # per point) with their done flag — resolved rows, the residual's
+        # ids, AND the residual's best-known kth distance all derive from
+        # this one small checkpointed table with flat lineage
+        marked = final.localCheckpoint(eager=True)
+        got = (marked.filter(F.col("_done"))
+               .select(point_id, "addr_id", "dist_m", "knn_rank"))
         resolved.append(got)
         done_ids = got.select(point_id).distinct()
+        # upper bound for the brute tail: an unresolved point's kth-nearest
+        # CANDIDATE distance bounds its true kth-nearest distance from
+        # above — the tail join can discard every farther pair pre-agg
+        bounds = (marked.filter(~F.col("_done"))
+                  .groupBy(point_id)
+                  .agg(F.max("_kth").alias("_ub"), F.max("_n").alias("_nc")))
+        n_done = done_ids.count()
         # shrink the residual (cheap: cached pts ⋈ checkpointed small ids),
         # release the previous round's cache deterministically
         new_pts = pts.join(done_ids, point_id, "left_anti").cache()
         n_residual = new_pts.count()
         pts.unpersist()
         pts = new_pts
-        # early exit: with the exact margin bound most inputs resolve in
-        # round 1 — don't pay another ring join + brute tail over nothing
+        # early exits: everything resolved → done; zero progress → a wider
+        # ring won't beat the (cos-collapsed polar) margin either, go
+        # straight to the bounded brute tail instead of paying more rings
         if n_residual == 0:
             pts.unpersist()
             a.unpersist()
             return _union(resolved)
+        if n_done == 0:
+            break
 
-    leftovers = (knn_bruteforce(pts.drop("p_cell"), addresses, point_id, k)
-                 .localCheckpoint(eager=True))
+    # Bounded brute tail: full candidate set per residual point, but pairs
+    # beyond the point's known upper bound are dropped BEFORE the top-k
+    # aggregate — the 1000-candidates-per-point sort collapses to ~k rows
+    # per point.  Points that never had k candidates (_nc < k or no bound
+    # row at all) keep every pair.
+    b_ = addresses.select(
+        "addr_id", F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"))
+    tail = (pts.drop("p_cell").crossJoin(b_)
+            .withColumn("dist_m", haversine_m(
+                F.col("lon"), F.col("lat"), F.col("a_lon"), F.col("a_lat")))
+            .join(bounds, point_id, "left")
+            .filter(F.col("_ub").isNull() | (F.col("_nc") < k)
+                    | (F.col("dist_m") <= F.col("_ub")))
+            .drop("_ub", "_nc"))
+    leftovers = _rank_topk(tail, point_id, k).localCheckpoint(eager=True)
     pts.unpersist()
     a.unpersist()
     return _union(resolved + [leftovers]) if resolved else leftovers

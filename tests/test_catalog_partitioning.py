@@ -1,0 +1,110 @@
+"""Iceberg-seam fidelity: hidden partitioning, partition evolution, and
+manifest/metadata pruning on the snapshot catalog (VERDICT r1 gap #3).
+
+The assertions are on *files actually handed to the scan* (df.inputFiles())
+— pruning that doesn't shrink the file list is not pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from p3_osm_transformer_spark.sources.catalog import (
+    Catalog,
+    geocell_bbox_cover,
+)
+
+
+def _pts(spark, n=400):
+    # deterministic points spread over 4 lat bands / 4 lon bands
+    return spark.range(n).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 16) * 20.0 - 160.0).alias("lon"),
+        ((F.col("id") % 8) * 20.0 - 75.0).alias("lat"),
+        (F.col("id") * 3 % 1000).alias("v"))
+
+
+def test_hidden_partitioning_prunes_and_hides(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    df = _pts(spark)
+    spec = {"cell": {"transform": "geocell[2]", "source": ["lat", "lon"]}}
+    cat.write_snapshot(df, "pts", partition_spec=spec)
+
+    full = cat.read(spark, "pts")
+    # the derived partition column is hidden from readers
+    assert "_p_cell" not in full.columns
+    assert full.count() == 400
+    n_all = len(full.inputFiles())
+
+    # bbox pruning expressed on SOURCE lat/lon — never names _p_cell
+    pruned = cat.read(spark, "pts", bbox={"cell": (0.0, 0.0, 19.0, 19.0)})
+    assert len(pruned.inputFiles()) < n_all
+    # pruned result == brute filter on the cells the bbox covers
+    cover = set(geocell_bbox_cover(2, 0.0, 0.0, 19.0, 19.0))
+    from p3_osm_transformer_spark.functions.geocell import cell_id
+    brute = (full.withColumn("_c", cell_id(F.col("lon"), F.col("lat"), 2))
+             .filter(F.col("_c").isin(list(cover))))
+    assert {r.pid for r in pruned.collect()} == {r.pid for r in brute.collect()}
+
+
+def test_where_eq_bucket_transform(spark, tmp_path):
+    """Equality projection works for hash-bucket transforms too — the
+    literal goes through the same Catalyst xxhash64, so the reader lists
+    only the one matching bucket directory."""
+    cat = Catalog(str(tmp_path))
+    df = _pts(spark)
+    spec = {"b": {"transform": "bucket[8]", "source": ["pid"]}}
+    cat.write_snapshot(df, "pts", partition_spec=spec)
+    full = cat.read(spark, "pts")
+    one = cat.read(spark, "pts", where_eq={"b": (123,)})
+    assert len(one.inputFiles()) < len(full.inputFiles())
+    assert one.filter("pid = 123").count() == 1
+
+
+def test_partition_evolution(spark, tmp_path):
+    """Each snapshot carries its own spec: rewriting with a different
+    layout leaves the old snapshot readable AND pruned under its old
+    spec."""
+    cat = Catalog(str(tmp_path))
+    df = _pts(spark)
+    s1 = cat.write_snapshot(df, "pts", partition_spec={
+        "cell": {"transform": "geocell[1]", "source": ["lat", "lon"]}})
+    s2 = cat.write_snapshot(df, "pts", partition_spec={
+        "t": {"transform": "truncate[100]", "source": ["pid"]}})
+    assert cat.spec_of("pts", s1) != cat.spec_of("pts", s2)
+
+    old = cat.read(spark, "pts", snapshot=s1,
+                   bbox={"cell": (0.0, 0.0, 19.0, 19.0)})
+    new = cat.read(spark, "pts", snapshot=s2, where_eq={"t": (150,)})
+    assert old.count() > 0
+    # truncate[100] of 150 → partition 100 → pids 100..199
+    pids = {r.pid for r in new.collect()}
+    assert pids == set(range(100, 200))
+    # neither reader sees a partition column
+    assert not [c for c in old.columns if c.startswith("_p_")]
+    assert not [c for c in new.columns if c.startswith("_p_")]
+
+
+def test_manifest_stats_pruning(spark, tmp_path):
+    """Driver-side manifest pruning: partitions whose recorded [min,max]
+    misses the range are never handed to spark.read at all."""
+    cat = Catalog(str(tmp_path))
+    df = _pts(spark)
+    spec = {"t": {"transform": "truncate[100]", "source": ["pid"]}}
+    cat.write_snapshot(df, "pts", partition_spec=spec, stats_cols=["v"])
+    m = cat.manifest_of("pts", 1)
+    assert m and all("v" in e["stats"] and "rows" in e for e in m.values())
+
+    full = cat.read(spark, "pts")
+    # v = pid*3 % 1000; restrict to a narrow v range → some partitions'
+    # [min,max] windows miss it entirely
+    pruned = cat.read(spark, "pts", stats_range={"v": (0, 3)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r.pid for r in pruned.filter("v <= 3").collect()}
+    want = {r.pid for r in full.filter("v <= 3").collect()}
+    assert got == want
+
+    # a range outside every partition's stats → zero files, empty result,
+    # schema preserved
+    none = cat.read(spark, "pts", stats_range={"v": (5000, 6000)})
+    assert none.count() == 0 and "pid" in none.columns
