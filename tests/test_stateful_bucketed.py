@@ -135,3 +135,61 @@ def test_first_seen_dedup_key_split_across_arrow_chunks(spark, tmp_path):
         assert got == ["img-000"]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+from pyspark.sql.types import TimestampType
+
+EV_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def test_sessionize_stream_matches_batch_twin_across_batches(spark, tmp_path):
+    """Cross-batch sessionization: a session spanning a micro-batch
+    boundary must not split, and a >gap hole spanning the boundary must
+    open a new session — state carries (last_ts, n_sessions) per user.
+    Ground truth = the batch lag-window rule (the q23 oracle shape)."""
+    import datetime as dt
+
+    from p3_osm_transformer_spark.streaming.sessionize import (
+        run_sessionize_stream)
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(uid, eid, minutes):
+        return (uid, eid, t0 + dt.timedelta(minutes=minutes))
+
+    # user 1: session across the batch boundary (gap 10min < 30min)
+    # user 2: new session opens across the boundary (gap 90min)
+    batch1 = [ev(1, 1, 0), ev(1, 2, 5), ev(2, 10, 0)]
+    batch2 = [ev(1, 3, 15), ev(2, 11, 90), ev(2, 12, 95)]
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+
+    for batch in (batch1, batch2):
+        spark.createDataFrame(batch, EV_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(indir)
+        run_sessionize_stream(spark, indir, EV_SCHEMA, outdir, ckpt,
+                              gap_s=1800)
+
+    got = {(r.user_id, r.event_id): r.session_idx
+           for r in spark.read.parquet(outdir).collect()}
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 1,
+                   (2, 10): 1, (2, 11): 2, (2, 12): 2}
+
+    # batch twin agreement: n_sessions per user == max session_idx
+    allrows = spark.createDataFrame(batch1 + batch2, EV_SCHEMA)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull() |
+                   ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+                   1).otherwise(0)
+    twin = {r.user_id: r.n for r in
+            allrows.withColumn("s", new_s).groupBy("user_id")
+                   .agg(F.sum("s").alias("n")).collect()}
+    stream_n = {}
+    for (uid, _), sidx in got.items():
+        stream_n[uid] = max(stream_n.get(uid, 0), sidx)
+    assert stream_n == twin
