@@ -88,29 +88,45 @@ def minhash_signature(text_col: str, n_hashes: int = 8, shingle_n: int = 3) -> l
             for i in range(n_hashes)]
 
 
-def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text", n_hashes: int = 8,
-                         shingle_n: int = 3) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) in ONE narrow pass: shingle array → a single
-    ``F.aggregate`` whose accumulator is the n_hashes-wide running-min
-    vector (each element min'd against md5(seed ':' shingle)).
+def _shingles_df(docs: DataFrame, id_col: str, text_col: str,
+                 shingle_n: int) -> DataFrame:
+    """(id, _sh) — word-shingle arrays, null-token docs dropped.
 
-    Shape rationale, measured: the explode → md5-column → groupBy-min
-    form pays the Generate machinery per shingle row plus an aggregate
-    exchange — ~18× slower on a 5k-doc corpus AND it shuffles; this form
-    is a pure projection (NO shuffle at any size — signatures compute
-    where the documents already live), with exactly the same md5 calls,
-    so the signature values — and the q21/q25 DuckDB oracle replays —
-    are bit-identical.  Docs whose token array is NULL are dropped,
-    matching the explode form's semantics.
+    The token array is LET-BOUND once per row via the single-element
+    ``transform(array(tokens), t -> ...)`` trick: every inner reference
+    (two sizes + one slice per shingle position) reads the lambda
+    variable.  Naming tokens in a separate projection does NOT do this —
+    CollapseProject inlines the split+filter into every lambda element,
+    re-tokenizing the document once per shingle position (measured 10× on
+    a 5k-doc corpus).  A repartition barrier would also work but costs a
+    full-corpus exchange; the let-binding is free.
     """
-    tk = docs.select(F.col(id_col), tokens_of(text_col).alias("_toks"))
-    sh = tk.select(
-        id_col,
-        F.when(F.size("_toks") >= shingle_n,
-               F.transform(F.sequence(F.lit(0), F.size("_toks") - shingle_n),
-                           lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, shingle_n)))
-               ).otherwise(F.array(F.concat_ws(" ", "_toks"))).alias("_sh"))
+    toks = tokens_of(text_col)
+
+    def build(t: F.Column) -> F.Column:
+        return F.when(
+            F.size(t) >= shingle_n,
+            F.transform(F.sequence(F.lit(0), F.size(t) - shingle_n),
+                        lambda i: F.concat_ws(" ", F.slice(t, i + 1, shingle_n)))
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+
+    sh_expr = F.element_at(F.transform(F.array(toks), build), 1)
+    return (docs.select(F.col(id_col), sh_expr.alias("_sh"))
+            .filter(F.col("_sh").isNotNull()))
+
+
+def _minhash_agg(n_hashes: int, finish=None) -> "F.Column":
+    """One-pass minhash over a shingle array column ``_sh``: a single
+    ``F.aggregate`` whose accumulator is the n_hashes-wide running-min
+    vector (each element min'd against md5(seed ':' shingle)).  ``finish``
+    (optional) post-processes the final vector INSIDE the same expression
+    — the accumulator is a lambda variable, so it is evaluated exactly
+    once no matter how many times ``finish`` references it.  That
+    once-binding is the whole trick: any OUTSIDE column that indexes the
+    aggregate's result gets the full aggregate inlined by CollapseProject
+    and re-evaluated per reference (measured: 8 references → ~8× the md5
+    work).
+    """
     # "~" (0x7E) sorts after every hex digit — the identity for string-min
     init = F.array_repeat(F.lit("~"), n_hashes)
 
@@ -120,8 +136,32 @@ def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
             lambda a, i: F.least(a, F.md5(
                 F.concat(i.cast("string"), F.lit(":"), s).cast("binary"))))
 
-    sig = (sh.filter(F.col("_sh").isNotNull())
-           .select(id_col, F.aggregate("_sh", init, merge).alias("_mins")))
+    return (F.aggregate("_sh", init, merge, finish) if finish is not None
+            else F.aggregate("_sh", init, merge))
+
+
+def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_hashes: int = 8,
+                         shingle_n: int = 3) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) via the one-pass minhash aggregate.
+
+    Shape rationale, measured: the old explode → md5-column → groupBy-min
+    form paid Generate machinery per shingle row plus an aggregate
+    exchange; the one-pass form makes the same md5 calls in a single
+    projection, so signature values — and the q21/q25 DuckDB oracle
+    replays — are bit-identical.  The repartition between the aggregate
+    and the 8-column split is a deliberate CollapseProject barrier: it
+    materializes the min-vector ONCE as a shuffle attribute; without it,
+    each mh_i projection would inline and re-run the whole aggregate
+    (8× the md5 work).  The shuffled rows are (id, 8 hex strings) — the
+    same bytes the old aggregate exchange moved, so scale cost is
+    unchanged.  Prefer ``minhash_bands`` when only band keys are needed:
+    it keeps everything in one shuffle-free projection via the
+    finish-lambda form.
+    """
+    sh = _shingles_df(docs, id_col, text_col, shingle_n)
+    sig = (sh.select(id_col, _minhash_agg(n_hashes).alias("_mins"))
+           .repartition(F.col(id_col)))
     return sig.select(id_col, *[F.col("_mins")[i].alias(f"mh_{i}")
                                 for i in range(n_hashes)])
 
@@ -129,15 +169,29 @@ def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n_hashes: int = 8,
                   band_size: int = 2, shingle_n: int = 3) -> DataFrame:
-    """(id, band_idx, band_key) — LSH bucket keys."""
-    sig = minhash_signature_df(docs, id_col, text_col, n_hashes, shingle_n)
-    bands = []
-    for b in range(n_hashes // band_size):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        bands.append(F.struct(F.lit(b).alias("band_idx"),
-                              F.md5(F.concat(*cols).cast("binary")).alias("band_key")))
-    return (sig.select(id_col, F.explode(F.array(*bands)).alias("b"))
-            .select(id_col, F.col("b.band_idx"), F.col("b.band_key")))
+    """(id, band_idx, band_key) — LSH bucket keys, ONE shuffle-free pass.
+
+    The band keys are computed inside the minhash aggregate's finish
+    lambda (md5 over the concatenated minima of each band — identical
+    bytes to concat'ing the mh_i columns, so the q21/q25 oracle replays
+    are unchanged), then posexploded.  Signatures never exist as separate
+    columns, so nothing can trigger the CollapseProject re-evaluation the
+    column form has to shuffle-barrier against — band building is a pure
+    projection that runs where the documents live.
+    """
+    n_bands = n_hashes // band_size
+
+    def finish(acc: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.md5(F.concat_ws(
+                "", F.slice(acc, b * band_size + 1, band_size))
+                .cast("binary")))
+
+    sh = _shingles_df(docs, id_col, text_col, shingle_n)
+    keyed = sh.select(id_col, _minhash_agg(n_hashes, finish).alias("_bk"))
+    return (keyed.select(id_col, F.posexplode("_bk")
+                         .alias("band_idx", "band_key")))
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -179,18 +233,12 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_n: int = 3, threshold: float = 0.7) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the refine step)."""
-    # two-step projection: tokens materialized before the shingle lambda so
-    # the split isn't re-evaluated per shingle position
-    tk = docs.select(F.col(id_col), tokens_of(text_col).alias("_toks"))
-    sh_expr = F.when(
-        F.size("_toks") >= shingle_n,
-        F.transform(F.sequence(F.lit(0), F.size("_toks") - shingle_n),
-                    lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, shingle_n)))
-    ).otherwise(F.array(F.concat_ws(" ", "_toks")))
     # joined twice (id_a and id_b sides) — cache the shingle-set table for
     # the duration of the verify join, materialize the (small) verified
-    # pair set, release the cache before returning (no session accretion)
-    sh = tk.select(F.col(id_col), F.array_distinct(sh_expr).alias("sh")).cache()
+    # pair set, release the cache before returning (no session accretion).
+    # shingle arrays come from the let-bound builder (see _shingles_df).
+    sh = (_shingles_df(docs, id_col, text_col, shingle_n)
+          .select(F.col(id_col), F.array_distinct("_sh").alias("sh")).cache())
     j = (pairs
          .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
