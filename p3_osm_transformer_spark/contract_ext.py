@@ -653,7 +653,12 @@ WHERE hamming <= 6
 """)
 def q45(spark, sf_dir):
     from p3_osm_transformer_spark.operators.dedup import simhash_near_pairs
-    return simhash_near_pairs(_corpus_df(spark, sf_dir), max_hamming=6)
+    # the oracle above is UNCAPPED (exhaustive cross join), so the banded
+    # plan must run with an unbounded hot-bucket cap; the production
+    # default (max_bucket=1000) intentionally drops degenerate buckets and
+    # would diverge on corpora where >1000 docs share a 16-bit band value
+    return simhash_near_pairs(_corpus_df(spark, sf_dir), max_hamming=6,
+                              max_bucket=10**9)
 
 
 # IVF ANN with the q31 planted-copy oracle: an exact copy is assigned the
@@ -718,8 +723,10 @@ def q47(spark, sf_dir):
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 400000).alias("image_id"),
         phash.bitwiseXOR(flip).alias("phash"))
+    # uncapped oracle (exhaustive cross join) → unbounded hot-bucket cap,
+    # same rationale as q45
     return phash_near_pairs(base.unionByName(dup), "image_id", "phash",
-                            max_hamming=3)
+                            max_hamming=3, max_bucket=10**9)
 
 
 # ------------------------------------------ q49 embedding-cosine near-dup

@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
 
     metrics = resume_run(spark, catalog, args.table, images, "image_id",
                          transform)
+    # the snapshot write above materialized the pipeline — release the
+    # flagship's branch-point persist (plans/pipeline.py cache contract)
+    from p3_osm_transformer_spark.plans.pipeline import release_enrich_cache
+    release_enrich_cache()
     print(json.dumps(metrics))
     return 0
 

@@ -392,16 +392,27 @@ def hamming_near_pairs(df: DataFrame, id_col: str, hash_col: str,
 
 def phash_near_pairs(images: DataFrame, id_col: str = "image_id",
                      phash_col: str = "phash",
-                     max_hamming: int = 3) -> DataFrame:
+                     max_hamming: int = 3,
+                     max_bucket: int = 1000) -> DataFrame:
     """Image near-duplicates by perceptual-hash Hamming distance — the
-    banded plan over the input_hint table's ``phash:int64`` column."""
-    return hamming_near_pairs(images, id_col, phash_col, max_hamming)
+    banded plan over the input_hint table's ``phash:int64`` column.
+
+    ``max_bucket`` is surfaced (not silently inherited) because the capped
+    plan diverges from an uncapped oracle exactly when >max_bucket images
+    share a 16-bit band value — callers verifying against an exhaustive
+    twin (q47) must pass an effectively-unbounded cap."""
+    return hamming_near_pairs(images, id_col, phash_col, max_hamming,
+                              max_bucket=max_bucket)
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket: int = 1000) -> DataFrame:
     """Near-dup pairs by 64-bit simhash Hamming distance ≤ max_hamming
-    (see hamming_near_pairs for the banded plan)."""
+    (see hamming_near_pairs for the banded plan; ``max_bucket`` surfaced
+    for the same oracle-divergence reason as phash_near_pairs — q45's
+    exhaustive twin needs an unbounded cap)."""
     sh = with_simhash64(docs, id_col, text_col)
-    return hamming_near_pairs(sh, id_col, "simhash64", max_hamming)
+    return hamming_near_pairs(sh, id_col, "simhash64", max_hamming,
+                              max_bucket=max_bucket)

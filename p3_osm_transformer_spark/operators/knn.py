@@ -116,6 +116,9 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
 
     pts = points.withColumn("p_cell", cell_id(F.col("lon"), F.col("lat"), g)).cache()
     resolved: list[DataFrame] = []
+    # brute-tail pruning bound from the last ring round; stays None when no
+    # round ran (max_rounds <= 0 → plain bounded brute force, no NameError)
+    bounds: DataFrame | None = None
     # Termination bound: a point may stop expanding only if its kth-nearest
     # candidate is provably closer than ANY cell outside the probed box.
     # Exact per-point margin: the probed box spans [c-ring, c+ring+1) in
@@ -219,11 +222,12 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
         "addr_id", F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"))
     tail = (pts.drop("p_cell").crossJoin(b_)
             .withColumn("dist_m", haversine_m(
-                F.col("lon"), F.col("lat"), F.col("a_lon"), F.col("a_lat")))
-            .join(bounds, point_id, "left")
-            .filter(F.col("_ub").isNull() | (F.col("_nc") < k)
-                    | (F.col("dist_m") <= F.col("_ub")))
-            .drop("_ub", "_nc"))
+                F.col("lon"), F.col("lat"), F.col("a_lon"), F.col("a_lat"))))
+    if bounds is not None:
+        tail = (tail.join(bounds, point_id, "left")
+                .filter(F.col("_ub").isNull() | (F.col("_nc") < k)
+                        | (F.col("dist_m") <= F.col("_ub")))
+                .drop("_ub", "_nc"))
     leftovers = _rank_topk(tail, point_id, k).localCheckpoint(eager=True)
     pts.unpersist()
     a.unpersist()

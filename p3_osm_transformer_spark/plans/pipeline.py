@@ -23,6 +23,20 @@ from p3_osm_transformer_spark.operators.geotag import extract_geotag
 from p3_osm_transformer_spark.operators.knn import knn_bruteforce, knn_ring
 from p3_osm_transformer_spark.operators.tile_assign import assign_tiles
 
+# The flagship's branch-point persist must outlive this function (the
+# returned DataFrame is lazy), so the handle is parked here and released
+# on the NEXT enrich_images call (bounded at one live cache per session)
+# or explicitly via release_enrich_cache() — same hygiene contract the
+# dedup operators enforce (test_dedup_caches_released).
+_TAGGED_CACHE: list[DataFrame] = []
+
+
+def release_enrich_cache() -> None:
+    """Release the persisted branch-point table of the last enrich_images
+    call.  Call after the returned DataFrame has been materialized."""
+    while _TAGGED_CACHE:
+        _TAGGED_CACHE.pop().unpersist()
+
 
 def enrich_images(images: DataFrame, addresses: DataFrame,
                   knn_strategy: str = "ring",
@@ -42,7 +56,9 @@ def enrich_images(images: DataFrame, addresses: DataFrame,
     # stages (sources/catalog.py); in one session MEMORY_AND_DISK is the
     # same move.
     from pyspark.storagelevel import StorageLevel
+    release_enrich_cache()   # at most one live flagship cache per session
     tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    _TAGGED_CACHE.append(tagged)
     geo = tagged.filter(F.col("lat").isNotNull())
     geo = assign_tiles(geo)
 

@@ -183,3 +183,19 @@ def test_knn_ring_bounded_tail_equals_bruteforce(spark, k):
     brute = {(r["point_id"], r["addr_id"], r["knn_rank"])
              for r in knn.knn_bruteforce(pts, addrs, k=k).collect()}
     assert ring == brute and len(brute) == 50 * k
+
+
+def test_knn_ring_zero_rounds_falls_back_to_brute(spark):
+    """max_rounds=0 must degrade to plain brute force (regression: the
+    tail referenced the ring loop's bound table → NameError)."""
+    addrs = spark.createDataFrame(
+        [(f"a-{i}", float(i), float(i % 50)) for i in range(30)],
+        "addr_id string, lon double, lat double")
+    pts = spark.createDataFrame(
+        [(i, float(i) + 0.3, float(i % 50) - 0.2) for i in range(10)],
+        "point_id long, lon double, lat double")
+    ring = {(r["point_id"], r["addr_id"], r["knn_rank"])
+            for r in knn.knn_ring(pts, addrs, k=2, g=8, max_rounds=0).collect()}
+    brute = {(r["point_id"], r["addr_id"], r["knn_rank"])
+             for r in knn.knn_bruteforce(pts, addrs, k=2).collect()}
+    assert ring == brute and len(brute) == 20

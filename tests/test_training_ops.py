@@ -254,3 +254,23 @@ def test_dedup_caches_released(spark):
         dedup.hamming_near_pairs(
             c.selectExpr("doc_id as id", "doc_id * 7 as h"), "id", "h").count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_enrich_cache_bounded_and_releasable(spark):
+    """enrich_images persists its branch-point table past return (the
+    output is lazy); repeated calls must hold at most ONE live cache and
+    release_enrich_cache() must drop it (ADVICE r2: unbounded accretion)."""
+    from p3_osm_transformer_spark.operators.osm import build_addresses
+    from p3_osm_transformer_spark.plans.pipeline import (
+        enrich_images, release_enrich_cache)
+    from p3_osm_transformer_spark.sources import fixtures as fx
+    spark.catalog.clearCache()
+    imgs = fx.images_table(spark, 40)
+    addrs = build_addresses(fx.osm_nodes(spark, 400),
+                            fx.osm_ways(spark, 60, 400))
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for _ in range(3):
+        enrich_images(imgs, addrs, knn_strategy="brute").count()
+    assert not cm.isEmpty()          # the current call's cache is live
+    release_enrich_cache()
+    assert cm.isEmpty()              # and exactly that one was held
