@@ -64,12 +64,26 @@ def q24(spark, sf_dir):
 
 
 # ------------------------------------------------- q25 minhash LSH + jaccard
+# Replays dedup.py's universal-hash minhash bit-exact: base = 15-hex-char
+# md5 prefix (60-bit int) mod p, h_i = (A_i*base + B_i) mod p, p = 2^31-1.
+# The (A_i, B_i) literals are interpolated from the SAME minhash_consts()
+# the engine uses — one source of truth for both engines.
+from p3_osm_transformer_spark.operators.dedup import (  # noqa: E402
+    P_MINHASH as _MH_P,
+    minhash_consts as _mh_consts,
+)
+
+_MH_A, _MH_B = _mh_consts(8)
+
+
 def _mh_sql(i: int) -> str:
     sh = ("CASE WHEN len(toks) >= 3 THEN "
           "list_transform(generate_series(1, len(toks) - 2),"
           " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
           " ELSE [array_to_string(toks, ' ')] END")
-    return f"list_aggregate(list_transform({sh}, s -> md5('{i}:' || s)), 'min')"
+    base = f"(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_MH_P})"
+    return (f"list_aggregate(list_transform({sh}, "
+            f"s -> ({_MH_A[i]} * {base} + {_MH_B[i]}) % {_MH_P}), 'min')")
 
 
 _Q25_SQL = f"""
@@ -78,7 +92,9 @@ tk AS (SELECT doc_id, {_toks('text')} AS toks FROM corpus),
 sig AS (SELECT doc_id, {', '.join(f'{_mh_sql(i)} AS mh_{i}' for i in range(8))} FROM tk),
 bands AS (
   {' UNION ALL '.join(
-      f"SELECT doc_id, {b} AS band_idx, md5(mh_{2*b} || mh_{2*b+1}) AS band_key FROM sig"
+      f"SELECT doc_id, {b} AS band_idx, "
+      f"concat_ws(':', CAST(mh_{2*b} AS VARCHAR), CAST(mh_{2*b+1} AS VARCHAR))"
+      f" AS band_key FROM sig"
       for b in range(4))}
 ),
 cand AS (

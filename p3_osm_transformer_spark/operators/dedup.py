@@ -70,21 +70,50 @@ def shingles_of(text_col: str, n: int = 3) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+# Universal-hash minhash family: ONE portable base hash per shingle
+# (15-hex-char md5 prefix → 60-bit int, replayable bit-exact in any engine
+# with md5), then h_i = (A_i·base + B_i) mod p — the classic (a·x+b) mod p
+# universal family over the Mersenne prime 2^31−1 (the same construction
+# Spark's MinHashLSH publishes).  Measured rationale: the previous
+# construction paid n_hashes md5 calls + string-mins PER SHINGLE inside an
+# interpreted higher-order aggregate — 122 core-seconds for a 20k-doc
+# corpus, the dominant cost of dedup_near; the arithmetic family pays ONE
+# md5 and n_hashes multiply-add-mods on longs (~6× less per-shingle work,
+# same one-pass aggregate shape).
+P_MINHASH = 2_147_483_647   # 2^31 − 1; A_i·base < 2^62 — no 64-bit overflow
+
+
+def minhash_consts(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (A_i, B_i) pairs, derived from md5 so the DuckDB
+    oracle (contract_ext._mh_sql) interpolates the identical literals."""
+    import hashlib
+
+    def h32(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+    A = [h32(f"a:{i}") % (P_MINHASH - 1) + 1 for i in range(n_hashes)]
+    B = [h32(f"b:{i}") % P_MINHASH for i in range(n_hashes)]
+    return A, B
+
+
+def _base_hash(s: F.Column) -> F.Column:
+    """Portable per-shingle base hash: first 15 hex chars of md5 (60 bits,
+    fits a signed long) reduced mod p.  DuckDB twin:
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647."""
+    return (F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
+            .cast("long") % F.lit(P_MINHASH))
+
+
 def minhash_signature(text_col: str, n_hashes: int = 8, shingle_n: int = 3) -> list[F.Column]:
-    """Per-seed min over md5(seed ':' shingle) — deterministic, portable
-    (string min of hex digests; identical in any engine with md5).
-
-    Scalar-column form — convenient for small inputs, but Catalyst does NOT
-    common-subexpression the shingle array across the n_hashes lambdas, so
-    cost is O(n_hashes · len²) per row.  The pipeline path below
-    (``minhash_signature_df``) is the production shape.
-    """
+    """Scalar-column minhash signature (long mh_i columns) — convenient for
+    small inputs; the pipeline path (``minhash_signature_df``) is the
+    production shape (Catalyst does not common-subexpression the shingle
+    array across the n_hashes lambdas here)."""
     sh = shingles_of(text_col, shingle_n)
-
-    def hasher(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary"))
-
-    return [F.array_min(F.transform(sh, hasher(i))).alias(f"mh_{i}")
+    A, B = minhash_consts(n_hashes)
+    return [F.array_min(F.transform(
+                sh, lambda s, i=i: (F.lit(A[i]) * _base_hash(s) + F.lit(B[i]))
+                % F.lit(P_MINHASH))).alias(f"mh_{i}")
             for i in range(n_hashes)]
 
 
@@ -118,23 +147,31 @@ def _shingles_df(docs: DataFrame, id_col: str, text_col: str,
 def _minhash_agg(n_hashes: int, finish=None) -> "F.Column":
     """One-pass minhash over a shingle array column ``_sh``: a single
     ``F.aggregate`` whose accumulator is the n_hashes-wide running-min
-    vector (each element min'd against md5(seed ':' shingle)).  ``finish``
-    (optional) post-processes the final vector INSIDE the same expression
-    — the accumulator is a lambda variable, so it is evaluated exactly
-    once no matter how many times ``finish`` references it.  That
+    vector, each element min'd against (A_i·base(shingle) + B_i) mod p.
+    ``finish`` (optional) post-processes the final vector INSIDE the same
+    expression — the accumulator is a lambda variable, so it is evaluated
+    exactly once no matter how many times ``finish`` references it.  That
     once-binding is the whole trick: any OUTSIDE column that indexes the
     aggregate's result gets the full aggregate inlined by CollapseProject
-    and re-evaluated per reference (measured: 8 references → ~8× the md5
-    work).
+    and re-evaluated per reference (measured: 8 references → ~8× the work).
+
+    The per-shingle base hash is ALSO let-bound (single-element transform
+    trick, see _shingles_df) so the md5 runs once per shingle, not once
+    per (shingle, i) — without the binding the zip_with lambda would
+    re-evaluate it n_hashes times.
     """
-    # "~" (0x7E) sorts after every hex digit — the identity for string-min
-    init = F.array_repeat(F.lit("~"), n_hashes)
+    A, B = minhash_consts(n_hashes)
+    a_arr, b_arr = F.lit(A), F.lit(B)
+    init = F.array_repeat(F.lit(P_MINHASH).cast("long"), n_hashes)
 
     def merge(acc: F.Column, s: F.Column) -> F.Column:
-        return F.zip_with(
-            acc, F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda a, i: F.least(a, F.md5(
-                F.concat(i.cast("string"), F.lit(":"), s).cast("binary"))))
+        def upd(base: F.Column) -> F.Column:
+            return F.zip_with(
+                acc, F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda a, i: F.least(
+                    a, (F.element_at(a_arr, i + 1) * base
+                        + F.element_at(b_arr, i + 1)) % F.lit(P_MINHASH)))
+        return F.element_at(F.transform(F.array(_base_hash(s)), upd), 1)
 
     return (F.aggregate("_sh", init, merge, finish) if finish is not None
             else F.aggregate("_sh", init, merge))
@@ -172,21 +209,21 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id",
     """(id, band_idx, band_key) — LSH bucket keys, ONE shuffle-free pass.
 
     The band keys are computed inside the minhash aggregate's finish
-    lambda (md5 over the concatenated minima of each band — identical
-    bytes to concat'ing the mh_i columns, so the q21/q25 oracle replays
-    are unchanged), then posexploded.  Signatures never exist as separate
-    columns, so nothing can trigger the CollapseProject re-evaluation the
-    column form has to shuffle-barrier against — band building is a pure
-    projection that runs where the documents live.
+    lambda (':'-joined minima of each band — bit-identical to joining the
+    mh_i columns, so the q25 oracle replays them with concat_ws), then
+    posexploded.  Signatures never exist as separate columns, so nothing
+    can trigger the CollapseProject re-evaluation the column form has to
+    shuffle-barrier against — band building is a pure projection that
+    runs where the documents live.
     """
     n_bands = n_hashes // band_size
 
     def finish(acc: F.Column) -> F.Column:
         return F.transform(
             F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.md5(F.concat_ws(
-                "", F.slice(acc, b * band_size + 1, band_size))
-                .cast("binary")))
+            lambda b: F.concat_ws(":", F.transform(
+                F.slice(acc, b * band_size + 1, band_size),
+                lambda x: x.cast("string"))))
 
     sh = _shingles_df(docs, id_col, text_col, shingle_n)
     keyed = sh.select(id_col, _minhash_agg(n_hashes, finish).alias("_bk"))
@@ -252,12 +289,115 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame,
     return out
 
 
+def _doc_signatures(docs: DataFrame, id_col: str, text_col: str,
+                    n_hashes: int, band_size: int,
+                    shingle_n: int) -> DataFrame:
+    """(id, sh:array<string>, bands:array<string>) — the distinct shingle
+    set AND the LSH band keys of every document, ONE tokenize + ONE
+    minhash pass, in a single projection.
+
+    The shingle array is let-bound (single-element transform trick, see
+    _shingles_df) and both outputs are computed inside that one lambda as
+    a struct — naming the array in a projection and referencing it twice
+    would make CollapseProject inline and re-run the tokenizer per
+    reference."""
+    def build(sh: F.Column) -> F.Column:
+        n_bands = n_hashes // band_size
+        A, B = minhash_consts(n_hashes)
+        a_arr, b_arr = F.lit(A), F.lit(B)
+        init = F.array_repeat(F.lit(P_MINHASH).cast("long"), n_hashes)
+
+        def merge(acc: F.Column, s: F.Column) -> F.Column:
+            def upd(base: F.Column) -> F.Column:
+                return F.zip_with(
+                    acc, F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                    lambda a, i: F.least(
+                        a, (F.element_at(a_arr, i + 1) * base
+                            + F.element_at(b_arr, i + 1)) % F.lit(P_MINHASH)))
+            return F.element_at(F.transform(F.array(_base_hash(s)), upd), 1)
+
+        def finish(acc: F.Column) -> F.Column:
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.concat_ws(":", F.transform(
+                    F.slice(acc, b * band_size + 1, band_size),
+                    lambda x: x.cast("string"))))
+
+        return F.struct(
+            F.array_distinct(sh).alias("sh"),
+            F.aggregate(sh, init, merge, finish).alias("bands"))
+
+    base = _shingles_df(docs, id_col, text_col, shingle_n)
+    combined = F.element_at(F.transform(F.array(F.col("_sh")), build), 1)
+    return base.select(F.col(id_col), combined.alias("_c")) \
+               .select(id_col, F.col("_c.sh").alias("sh"),
+                       F.col("_c.bands").alias("bands"))
+
+
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-               threshold: float = 0.7, **lsh_kw) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → Jaccard verify."""
-    cands = lsh_candidate_pairs(docs, id_col, text_col, **lsh_kw)
-    return jaccard_verify(cands, docs, id_col, text_col,
-                          lsh_kw.get("shingle_n", 3), threshold)
+               threshold: float = 0.7, n_hashes: int = 8, band_size: int = 2,
+               shingle_n: int = 3, max_bucket: int = 1000) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify, TWO driver
+    actions total.
+
+    Shape rationale, measured (event-log breakdowns at local[32], 20k-doc
+    corpus):
+
+    * The r2 staged form (lsh_candidate_pairs → jaccard_verify) paid ~5
+      driver actions — two cache fills, two eager checkpoints, a final
+      count — each costing ~1-1.3s of driver-serial Catalyst+codegen dead
+      time between jobs (~8.5s total) that no executor count can shrink.
+    * A fully-fused one-action form is WORSE: the band self-join's two
+      sides and the verify join's two sides all scan the still-cold
+      .cache()'d tables concurrently in one job wave, so the minhash ran
+      ~3× with cache-write contention (stages of 200-400 task-seconds vs
+      ~30s of real CPU).
+
+    The correct shape is one EAGER materialization of the per-document
+    signature table (shingle set + band keys, one tokenize + one minhash
+    pass — ``_doc_signatures``), then the whole candidates→verify plan
+    reads those checkpointed blocks from every side, with one terminal
+    eager checkpoint.  localCheckpoint (not .cache) holds the blocks:
+    downstream stages never race a cold cache, there is no cache-manager
+    entry to leak, and the driver's ContextCleaner frees the blocks when
+    the result goes out of scope.  At 10^12 rows the signature checkpoint
+    becomes a persisted signatures table (sources/catalog.py snapshot)
+    and the verify's explicit repartition is the shuffle that distributes
+    candidate pairs across the cluster.
+
+    The verify join repartitions pairs explicitly: AQE coalesces by BYTES,
+    and 40k candidate pairs are tiny on disk but carry ~20ms of
+    array_intersect CPU each — byte-coalescing collapsed the verify stage
+    to 1 task (19s serial, measured).  An explicit numbered repartition is
+    exempt from AQE coalescing, so the expensive projection keeps cluster
+    parallelism.
+    """
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sig = _doc_signatures(docs, id_col, text_col, n_hashes, band_size,
+                          shingle_n).localCheckpoint(eager=True)
+
+    bands = sig.select(id_col, F.posexplode("bands")
+                       .alias("band_idx", "band_key"))
+    sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("_bn"))
+    kept = (bands.join(sizes, ["band_idx", "band_key"])
+            .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = kept.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = kept.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    pairs = (a.join(b, ["band_idx", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct()
+             .repartition(n_part, "id_a"))
+    sh = sig.select(id_col, "sh")
+    j = (pairs
+         .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (j.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True))
 
 
 # ---------------------------------------------------------------- simhash

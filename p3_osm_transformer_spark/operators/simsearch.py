@@ -70,19 +70,61 @@ def _coef(p: int, d_col: F.Column) -> F.Column:
     return (h % 20001 - 10000) / 10000.0
 
 
-def sketch_bits(vec_col: str, n_planes: int = 16) -> F.Column:
-    """Sign sketch: bit_p = 1 iff Σ_d coef(p,d)·v_d ≥ 0 (bit string)."""
-    dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
+def _coef_py(p: int, d: int) -> float:
+    """Python twin of _coef — bit-identical: first 8 md5 hex chars < 2^32
+    so the conv→long→mod arithmetic is the same IEEE double both ways."""
+    import hashlib
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+    return (h % 20001 - 10000) / 10000.0
 
-    def projector(plane: int):
-        return lambda v, d: v.cast("double") * _coef(plane, d)
 
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(F.zip_with(F.col(vec_col), dims, projector(p)),
-                           F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def sketch_bits(vec_col: str, n_planes: int = 16,
+                dim: int | None = None) -> F.Column:
+    """Sign sketch: bit_p = 1 iff Σ_d coef(p,d)·v_d ≥ 0 (bit string).
+
+    ``dim`` (the fixed embedding length) selects the production form: the
+    (dim × n_planes) coefficient matrix is precomputed on the DRIVER and
+    enters the plan as one literal, so the per-row cost is dim·n_planes
+    multiply-adds in a single array traversal.  The ``dim=None`` fallback
+    derives every coefficient per row with md5 — n_planes separate
+    aggregate passes, each hashing per (plane, dim): measured ~770
+    interpreted md5 calls per 64-dim row, the whole cost of the r2
+    ann_lsh stage (VERDICT r2 #3).  Both forms produce bit-identical
+    sketches (same coefficients, same d-ascending float summation order);
+    callers detect dim once per DataFrame (``_embedding_dim``).
+    Rows whose vector length differs from ``dim`` yield null projections
+    → all-'0' bits; keep ragged corpora on the fallback path.
+    """
+    if dim is None:
+        dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
+
+        def projector(plane: int):
+            return lambda v, d: v.cast("double") * _coef(plane, d)
+
+        bits = []
+        for p in range(n_planes):
+            proj = F.aggregate(F.zip_with(F.col(vec_col), dims, projector(p)),
+                               F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    coefs_by_dim = [[_coef_py(p, d) for p in range(n_planes)]
+                    for d in range(dim)]
+    contribs = F.zip_with(
+        F.col(vec_col), F.lit(coefs_by_dim),
+        lambda v, crow: F.transform(crow, lambda c: v.cast("double") * c))
+    proj = F.aggregate(
+        contribs, F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, row: F.zip_with(acc, row, lambda a, x: a + x))
+    return F.concat_ws("", F.transform(
+        proj, lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
+
+
+def _embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
+    """Fixed embedding length, detected from one row (column-pruned scan).
+    None for an empty frame — callers fall back to the per-row sketch."""
+    row = df.select(F.size(vec_col).alias("n")).head(1)
+    return int(row[0]["n"]) if row else None
 
 
 def pick_prefix_bits(n_corpus: int, target_bucket: int = 256) -> int:
