@@ -88,7 +88,8 @@ def pick_resolution(n_addresses: int) -> int:
 def knn_ring(points: DataFrame, addresses: DataFrame,
              point_id: str = "point_id", k: int = 1, g: int | None = 15,
              start_ring: int = 1, max_rounds: int = 3,
-             plan_probe: list | None = None) -> DataFrame:
+             plan_probe: list | None = None,
+             n_addresses: int | None = None) -> DataFrame:
     """Scale-path kNN via iterative cell-ring expansion.
 
     Round r probes rings of radius ``start_ring * 2^r``; points that found
@@ -108,8 +109,13 @@ def knn_ring(points: DataFrame, addresses: DataFrame,
     and every per-round persist released before the next round — repeated
     rounds accrete no storage memory and no lineage depth.
     """
+    # g=None → density-picked resolution; pass n_addresses (e.g. from
+    # Catalog.row_count manifest metadata) to skip the fallback count()
+    # scan — at warehouse scale the address table's size is catalog
+    # metadata, not a job (VERDICT r2 #4)
     if g is None:
-        g = pick_resolution(addresses.count())
+        g = pick_resolution(n_addresses if n_addresses is not None
+                            else addresses.count())
     a = addresses.select(
         "addr_id", F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"),
         cell_id(F.col("lon"), F.col("lat"), g).alias("a_cell")).cache()

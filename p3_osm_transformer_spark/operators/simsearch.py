@@ -142,27 +142,43 @@ def pick_prefix_bits(n_corpus: int, target_bucket: int = 256) -> int:
 def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     q_id: str = "query_id", c_id: str = "neighbor_id",
                     n_planes: int = 12, prefix_bits: int | None = None,
-                    max_bucket: int = 10_000) -> DataFrame:
+                    max_bucket: int = 10_000,
+                    n_corpus: int | None = None,
+                    dim: int | None = None) -> DataFrame:
     """ANN: sketch-prefix bucket join (multi-probe: exact prefix plus the
     prefix_bits single-bit-flip neighbors) → exact cosine re-rank.
 
     ``prefix_bits=None`` (the default, and the only sane setting at scale)
-    derives the bucket count from the corpus size via ``pick_prefix_bits``
-    — one cheap count() against the (column-pruned) corpus scan.
-    ``max_bucket`` truncates degenerate hot buckets to their first
-    ``max_bucket`` members by id (deterministic): truncation — not
-    whole-bucket drop — because for *search* a dropped bucket would zero
-    recall for every query hashing into it, while a truncated bucket
+    derives the bucket count from the corpus size via ``pick_prefix_bits``;
+    pass ``n_corpus`` (e.g. from Catalog.row_count manifest metadata) to
+    skip the fallback count() scan.  ``dim`` is the fixed embedding length
+    for the literal-coefficient sketch (detected from one row when None —
+    see sketch_bits).  ``max_bucket`` truncates degenerate hot buckets to
+    their first ``max_bucket`` members by id (deterministic): truncation —
+    not whole-bucket drop — because for *search* a dropped bucket would
+    zero recall for every query hashing into it, while a truncated bucket
     degrades gracefully.
     """
     if prefix_bits is None:
-        prefix_bits = pick_prefix_bits(corpus.count())
+        prefix_bits = pick_prefix_bits(
+            n_corpus if n_corpus is not None else corpus.count())
     if n_planes < prefix_bits:
         n_planes = prefix_bits
-    qs = queries.select(F.col(q_id), F.col("embedding").alias("_qe"),
-                        sketch_bits("embedding", n_planes).alias("_sk"))
-    cs = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"),
-                       F.substring(sketch_bits("embedding", n_planes), 1,
+    if dim is None:
+        dim = _embedding_dim(corpus)
+    # Candidate generation runs on (id, bucket) pairs ONLY — the multi-probe
+    # duplicate-dedup distinct() and the hot-bucket window shuffle ids, not
+    # embeddings.  The r2 form carried both 64-dim vectors through the
+    # distinct: ~430k candidate rows × 2×64 doubles ≈ 0.4 GB of shuffle for
+    # a 200-query/200k-corpus run, measured as the stage's whole cost once
+    # the sketch went literal-matrix.  Embeddings re-join AFTER the dedup,
+    # with per-ROW norms precomputed on each side (the per-pair form
+    # recomputed each norm once per candidate — |pairs|/|rows| ≈ 2000×
+    # redundant work for the query side).
+    qs = queries.select(F.col(q_id),
+                        sketch_bits("embedding", n_planes, dim).alias("_sk"))
+    cs = corpus.select(F.col(c_id),
+                       F.substring(sketch_bits("embedding", n_planes, dim), 1,
                                    prefix_bits).alias("_bucket"))
     wb = Window.partitionBy("_bucket").orderBy(c_id)
     cs = (cs.withColumn("_bpos", F.row_number().over(wb))
@@ -174,11 +190,16 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     F.when(F.substring("_sk", i + 1, 1) == "1", "0").otherwise("1"),
                     F.substring("_sk", i + 2, prefix_bits - i - 1))
            for i in range(prefix_bits)]))
-    qp = qs.withColumn("_bucket", F.explode(F.array_distinct(probes)))
-    sim = _dot("_qe", "_ce") / (_norm("_qe") * _norm("_ce"))
-    cand = (qp.join(cs, "_bucket")
-            .filter(F.col(q_id) != F.col(c_id))
-            .select(q_id, c_id, "_qe", "_ce").distinct()
+    qp = qs.select(F.col(q_id), F.explode(F.array_distinct(probes)).alias("_bucket"))
+    cand_ids = (qp.join(cs, "_bucket")
+                .filter(F.col(q_id) != F.col(c_id))
+                .select(q_id, c_id).distinct())
+    qe = queries.select(F.col(q_id), F.col("embedding").alias("_qe"),
+                        _norm("embedding").alias("_qn"))
+    ce = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"),
+                       _norm("embedding").alias("_cn"))
+    sim = _dot("_qe", "_ce") / (F.col("_qn") * F.col("_cn"))
+    cand = (cand_ids.join(qe, q_id).join(ce, c_id)
             .withColumn("cos_sim", sim))
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -234,7 +255,8 @@ def _centroid_topn_udf(centroids, n_probe: int):
 def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     q_id: str = "query_id", c_id: str = "neighbor_id",
                     n_centroids: int | None = None, n_probe: int = 4,
-                    sample_cap: int = 4096) -> DataFrame:
+                    sample_cap: int = 4096,
+                    n_corpus: int | None = None) -> DataFrame:
     """IVF ANN: k-means coarse centroids → corpus bucketed by nearest
     centroid → queries probe n_probe buckets → exact re-rank.
 
@@ -252,7 +274,8 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
     """
     if n_centroids is None:
         import math
-        n_corpus = corpus.count()
+        if n_corpus is None:   # catalog metadata (Catalog.row_count) seam
+            n_corpus = corpus.count()
         n_centroids = max(16, min(4096, sample_cap // 4,
                                   round(math.sqrt(max(n_corpus, 1)))))
     sample = [r["embedding"] for r in
@@ -261,16 +284,21 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
     cents = train_centroids_np(sample, min(n_centroids, max(len(sample), 1)))
 
     assign1 = _centroid_topn_udf(cents, 1)
-    cs = corpus.select(F.col(c_id), F.col("embedding").alias("_ce")) \
+    cs = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"),
+                       _norm("embedding").alias("_cn")) \
         .withColumn("_bucket", assign1("_ce")[0])
     probe_n = _centroid_topn_udf(cents, n_probe)
-    qs = queries.select(F.col(q_id), F.col("embedding").alias("_qe")) \
+    qs = queries.select(F.col(q_id), F.col("embedding").alias("_qe"),
+                        _norm("embedding").alias("_qn")) \
         .withColumn("_bucket", F.explode(probe_n("_qe")))
 
-    sim = _dot("_qe", "_ce") / (_norm("_qe") * _norm("_ce"))
+    # no distinct: each corpus vector lives in exactly ONE list and a query
+    # probes n_probe DISTINCT lists, so (q, c) pairs are already unique —
+    # the r2 distinct() shuffled every candidate's two 64-dim vectors for
+    # nothing.  Norms are per-row, not per-pair (see cosine_topk_lsh).
+    sim = _dot("_qe", "_ce") / (F.col("_qn") * F.col("_cn"))
     cand = (qs.join(cs, "_bucket")
             .filter(F.col(q_id) != F.col(c_id))
-            .select(q_id, c_id, "_qe", "_ce").distinct()
             .withColumn("cos_sim", sim))
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -281,7 +309,9 @@ def cosine_topk_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id",
                           n_planes: int = 12, prefix_bits: int | None = None,
-                          max_bucket: int = 10_000) -> DataFrame:
+                          max_bucket: int = 10_000,
+                          n_corpus: int | None = None,
+                          dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the last dedup modality the
     training pipeline needs: (id_a < id_b, cos_sim) for all pairs with
     cosine ≥ threshold, found via the same sketch-bucket self-join shape
@@ -294,31 +324,40 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
     whole (dedup semantics, same trade as ``lsh_candidate_pairs``: the
     dropped content is near-identical and exact dedup collapses it).
 
-    ``cosine_near_dup_brute`` is the oracle twin (exact, O(n²))."""
+    ``cosine_near_dup_brute`` is the oracle twin (exact, O(n²)).
+    ``n_corpus``/``dim``: same catalog-metadata / fixed-length seams as
+    cosine_topk_lsh."""
     if prefix_bits is None:
-        prefix_bits = pick_prefix_bits(vectors.count())
+        prefix_bits = pick_prefix_bits(
+            n_corpus if n_corpus is not None else vectors.count())
     if n_planes < prefix_bits:
         n_planes = prefix_bits
+    if dim is None:
+        dim = _embedding_dim(vectors)
     v = vectors.select(F.col(id_col), F.col("embedding"),
-                       sketch_bits("embedding", n_planes).alias("_sk"))
+                       sketch_bits("embedding", n_planes, dim).alias("_sk"))
     probes = F.array(*(
         [F.substring("_sk", 1, prefix_bits)]
         + [F.concat(F.substring("_sk", 1, i),
                     F.when(F.substring("_sk", i + 1, 1) == "1", "0").otherwise("1"),
                     F.substring("_sk", i + 2, prefix_bits - i - 1))
            for i in range(prefix_bits)]))
+    # no distinct needed: the b side carries its ONE exact-prefix bucket
+    # and the a side's probe set is array_distinct'ed, so each (a, b) pair
+    # joins at most once — the r2 distinct() shuffled both embeddings per
+    # pair for nothing.  Norms per row, not per pair (see cosine_topk_lsh).
     a = (v.withColumn("_bucket", F.explode(F.array_distinct(probes)))
          .select(F.col(id_col).alias("id_a"), F.col("embedding").alias("_ea"),
-                 "_bucket"))
+                 _norm("embedding").alias("_na"), "_bucket"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("_eb"),
+                 _norm("embedding").alias("_nb"),
                  F.substring("_sk", 1, prefix_bits).alias("_bucket"))
     sizes = b.groupBy("_bucket").agg(F.count("*").alias("_bn"))
     b = b.join(sizes.filter(F.col("_bn") <= max_bucket).select("_bucket"),
                "_bucket")
-    sim = _dot("_ea", "_eb") / (_norm("_ea") * _norm("_eb"))
+    sim = _dot("_ea", "_eb") / (F.col("_na") * F.col("_nb"))
     return (a.join(b, "_bucket")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "_ea", "_eb").distinct()
             .withColumn("cos_sim", F.round(sim, 6))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))

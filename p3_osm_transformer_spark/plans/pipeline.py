@@ -40,7 +40,8 @@ def release_enrich_cache() -> None:
 
 def enrich_images(images: DataFrame, addresses: DataFrame,
                   knn_strategy: str = "ring",
-                  geotag: str = "caption") -> DataFrame:
+                  geotag: str = "caption",
+                  n_addresses: int | None = None) -> DataFrame:
     if geotag == "caption+exif":
         # north-star rule: caption regexp (codegen) wins; EXIF GPS parse
         # (Arrow UDF) only ever sees the caption-misses; single image scan
@@ -66,8 +67,10 @@ def enrich_images(images: DataFrame, addresses: DataFrame,
     addr = addresses.select("addr_id", "street_address", "lat", "lon")
     if knn_strategy == "ring":
         # g=None → density-picked resolution (pick_resolution), so the ring
-        # join stays productive whether addresses number 10^2 or 10^9
-        nn = knn_ring(pts, addr, k=1, g=None, start_ring=2)
+        # join stays productive whether addresses number 10^2 or 10^9;
+        # n_addresses (Catalog.row_count metadata) skips the sizing scan
+        nn = knn_ring(pts, addr, k=1, g=None, start_ring=2,
+                      n_addresses=n_addresses)
     else:
         nn = knn_bruteforce(pts, addr, k=1)
     nn = nn.select(F.col("point_id").alias("image_id"),

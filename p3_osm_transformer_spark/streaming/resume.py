@@ -49,7 +49,11 @@ def resume_run(
     """
     t0 = time.perf_counter()
     if catalog.exists(table):
-        done = catalog.read(spark, table).select(key_col).distinct()
+        # the processed set is the UNION of all committed snapshots — each
+        # snapshot holds only its own run's new rows, so anti-joining the
+        # latest snapshot alone would re-process every key from runs ≥ 2
+        # back (r3 fix; the logical-table read, Iceberg semantics)
+        done = full_table(spark, catalog, table).select(key_col).distinct()
         todo = inputs.join(done, key_col, "left_anti")
         resumed = True
     else:
@@ -79,9 +83,12 @@ def resume_run(
 
 
 def full_table(spark: SparkSession, catalog: Catalog, table: str) -> DataFrame:
-    """Union of all committed snapshots = the logical table content."""
-    dfs = [catalog.read(spark, table, s) for s in catalog.snapshots(table)
-           if s <= (catalog.latest_snapshot(table) or 0)]
+    """Union of the LIVE snapshot chain = the logical table content
+    (after a compaction, the base snapshot + everything since — see
+    Catalog.live_snapshots; replaced-but-unexpired snapshots are
+    time-travel surface, not part of the logical table)."""
+    dfs = [catalog.read(spark, table, s)
+           for s in catalog.live_snapshots(table)]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)

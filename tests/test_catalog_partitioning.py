@@ -108,3 +108,83 @@ def test_manifest_stats_pruning(spark, tmp_path):
     # schema preserved
     none = cat.read(spark, "pts", stats_range={"v": (5000, 6000)})
     assert none.count() == 0 and "pid" in none.columns
+
+
+def test_manifest_keys_match_written_dirs_and_missing_entry_keeps(spark, tmp_path):
+    """Manifest keys must be the partitions' ACTUAL directory names (write
+    path: special characters, Spark's partition-path escaping) and a
+    partition with no manifest entry must be KEPT, not pruned (ADVICE r2:
+    pruning is an optimization, never a filter)."""
+    import json
+    import os
+    cat = Catalog(str(tmp_path))
+    # string partition values with URL-escaped characters + a float col
+    df = spark.createDataFrame(
+        [(i, ["a b", "c:d", "e/f", "g%h"][i % 4], float(i)) for i in range(40)],
+        "pid long, grp string, v double")
+    spec = {"g": {"transform": "identity", "source": ["grp"]}}
+    cat.write_snapshot(df, "esc", partition_spec=spec, stats_cols=["v"])
+
+    # every manifest key is a directory that really exists on disk
+    m = cat.manifest_of("esc", 1)
+    snapdir = os.path.join(str(tmp_path), "esc", "snap-1")
+    assert m and all(os.path.isdir(os.path.join(snapdir, k)) for k in m)
+    assert sum(e["rows"] for e in m.values()) == 40
+
+    # stats pruning over the escaped layout loses no rows
+    got = cat.read(spark, "esc", stats_range={"v": (0, 10)})
+    assert {r.pid for r in got.filter("v <= 10").collect()} == set(range(11))
+
+    # remove one manifest entry → that partition must still be read
+    k0 = sorted(m)[0]
+    del m[k0]
+    with open(os.path.join(snapdir, "_manifest.json"), "w") as f:
+        json.dump(m, f)
+    kept = cat.read(spark, "esc", stats_range={"v": (0, 1000)})
+    assert kept.count() == 40
+
+
+def test_row_count_from_manifest(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(_pts(spark), "pts", partition_by=["lat"],
+                       stats_cols=["v"])
+    assert cat.row_count("pts") == 400            # no scan: manifest sum
+    assert cat.live_row_count("pts") == 400
+    # unpartitioned write also records rows (single "" key)
+    cat.write_snapshot(_pts(spark, 50), "flat")
+    assert cat.row_count("flat") == 50
+
+
+def test_vacuum_compact_expire_lifecycle(spark, tmp_path):
+    """Crashed-write vacuum + compact-then-expire: the logical table is
+    unchanged at every step and replaced snapshots are only removable
+    once a base snapshot carries their rows."""
+    import os
+    import shutil
+    from p3_osm_transformer_spark.streaming.resume import full_table
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(spark.range(0, 100).select(F.col("id").alias("k")), "t")
+    cat.write_snapshot(spark.range(100, 150).select(F.col("id").alias("k")), "t")
+
+    # simulate a crashed write: snap dir present, _latest never committed
+    dangling = os.path.join(str(tmp_path), "t", "snap-9")
+    os.makedirs(dangling)
+    assert cat.vacuum("t") == [9] and not os.path.exists(dangling)
+
+    assert full_table(spark, cat, "t").count() == 150
+    # nothing is expirable before a compaction base exists
+    assert cat.expire_snapshots("t") == []
+
+    snap = cat.compact(spark, "t")
+    assert snap == 3 and cat.live_snapshots("t") == [3]
+    assert full_table(spark, cat, "t").count() == 150          # unchanged
+
+    # appends after the base join the live chain
+    cat.write_snapshot(spark.range(150, 160).select(F.col("id").alias("k")), "t")
+    assert cat.live_snapshots("t") == [3, 4]
+    assert full_table(spark, cat, "t").count() == 160
+
+    assert cat.expire_snapshots("t") == [1, 2]
+    assert cat.snapshots("t") == [3, 4]
+    assert full_table(spark, cat, "t").count() == 160          # still intact
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

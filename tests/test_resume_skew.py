@@ -42,6 +42,14 @@ def test_resume_processes_only_new_keys(spark, tmp_path):
     assert total.count() == 200
     assert total.select("k").distinct().count() == 200
 
+    # third run re-presenting the FIRST batch's keys: the processed set is
+    # the union of ALL snapshots, not just the latest — nothing to redo
+    # (regression: anti-join against latest-only re-processed run-1 keys)
+    m3 = resume_run(spark, cat, "out", inputs1, "k", transform)
+    assert m3["resumed"] is True and (m3["rows_in"], m3["rows_out"]) == (0, 0)
+    total = full_table(spark, cat, "out")
+    assert total.count() == 200 and total.select("k").distinct().count() == 200
+
 
 def test_hot_cells_and_salted_agg(spark):
     # 1 hot cell (10k rows) + 100 cold cells (10 rows each)

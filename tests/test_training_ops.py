@@ -228,6 +228,21 @@ def test_prefix_bits_scale_with_corpus():
         assert n / buckets <= 1024                   # no degenerate buckets
 
 
+def test_sketch_bits_literal_matrix_matches_per_row_form(spark):
+    """The literal-coefficient single-pass sketch (dim known) must be
+    bit-identical to the per-row md5 fallback — same coefficients, same
+    d-ascending float summation order.  Pins the q31/q44/q49 bucket
+    assignments across the r3 performance rewrite."""
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(24)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = emb.select(
+        simsearch.sketch_bits("embedding", 12, dim=24).alias("fast"),
+        simsearch.sketch_bits("embedding", 12, dim=None).alias("ref")).collect()
+    assert all(r["fast"] == r["ref"] for r in got)
+    assert len({r["fast"] for r in got}) > 10   # sketches actually vary
+
+
 def test_ann_lsh_auto_bits_planted_recall(spark):
     """cosine_topk_lsh with prefix_bits=None (corpus-derived) still finds
     planted exact copies — identical vectors share a bucket at any bits."""
