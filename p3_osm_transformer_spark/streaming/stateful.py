@@ -28,22 +28,36 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 
 def first_seen_dedup(stream_df: DataFrame, key_col: str,
-                     order_col: str) -> DataFrame:
+                     order_col: str,
+                     state_timeout_s: int | None = None) -> DataFrame:
     """Emit exactly the first-seen row per ``key_col`` across the whole
     stream; within one micro-batch, the smallest ``order_col`` wins
     (deterministic tie-break, same rule as the batch ``dedup_exact``).
 
     Output schema = input schema + ``first_batch_rank`` (always 1, the
     batch twin's column) so batch and stream results union cleanly.
+
+    ``state_timeout_s`` bounds state (VERDICT r2 #5): a key idle for that
+    long is RETIRED (ProcessingTimeTimeout → state.remove()), so unbounded
+    key cardinality costs bounded state — the production retention trade.
+    A retired key that reappears is re-admitted (emitted again): dedup
+    becomes windowed-by-idleness.  None (default) keeps exact
+    whole-stream semantics.
     """
     out_fields = list(stream_df.schema.fields) + [
         StructField("first_batch_rank", LongType())]
     out_schema = StructType(out_fields)
     state_schema = StructType([StructField("n_seen", LongType())])
     in_cols = [f.name for f in stream_df.schema.fields]
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if state_timeout_s else GroupStateTimeout.NoTimeout)
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the retention window → retire the key's state
+            state.remove()
+            return
         n_seen = state.get[0] if state.exists else 0
         # Gate on whether the key was seen in a PREVIOUS micro-batch,
         # captured before the chunk loop: one key's micro-batch arrives as
@@ -62,6 +76,8 @@ def first_seen_dedup(stream_df: DataFrame, key_col: str,
                     .sort_values(order_col, kind="stable").head(1))
             n_seen += len(pdf)
         state.update((n_seen,))
+        if state_timeout_s:
+            state.setTimeoutDuration(state_timeout_s * 1000)
         if first is not None:
             first = first[in_cols].copy()
             first["first_batch_rank"] = 1
@@ -69,18 +85,54 @@ def first_seen_dedup(stream_df: DataFrame, key_col: str,
 
     return (stream_df.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout_conf))
+
+
+def await_drained(query, timeout_s: int, state_timeout_set: bool) -> None:
+    """Wait for an availableNow stateful query to finish its work.
+
+    Without a state timeout the query self-terminates when the data is
+    drained — plain awaitTermination.  WITH ProcessingTimeTimeout, Spark
+    keeps scheduling no-data "cleaning up state" batches forever (it
+    never checks whether timers remain — measured: 29 empty batches in
+    30s with numRowsTotal already 0), so availableNow never terminates on
+    its own; instead, stop once the data is drained AND at least one
+    zero-input batch has run (expired timers fire in every batch, so by
+    then every due retirement has been processed)."""
+    if not state_timeout_set:
+        if not query.awaitTermination(timeout_s):
+            query.stop()
+            raise TimeoutError(
+                f"stream did not finish within {timeout_s}s; output is "
+                "incomplete")
+        return
+    import time as _time
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        if not query.isActive:
+            return
+        if any(getattr(p, "numInputRows", None) == 0
+               for p in query.recentProgress):
+            query.stop()
+            query.awaitTermination(30)
+            return
+        _time.sleep(0.3)
+    query.stop()
+    raise TimeoutError(
+        f"stream did not drain within {timeout_s}s; output is incomplete")
 
 
 def run_dedup_stream(spark, input_dir: str, schema, key_col: str,
                      order_col: str, output_dir: str,
-                     checkpoint_dir: str) -> None:
+                     checkpoint_dir: str,
+                     state_timeout_s: int | None = None) -> None:
     """File-source driver: dedup everything currently available, append
     survivors to ``output_dir`` parquet, then stop.  Re-running with the
     same checkpoint resumes the state store — keys seen in an earlier run
     stay deduped (the snapshot-resume semantic, state-store edition)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    deduped = first_seen_dedup(stream, key_col, order_col)
+    deduped = first_seen_dedup(stream, key_col, order_col,
+                               state_timeout_s=state_timeout_s)
     query = (deduped.writeStream
              .outputMode("append")
              .format("parquet")
@@ -88,11 +140,4 @@ def run_dedup_stream(spark, input_dir: str, schema, key_col: str,
              .option("checkpointLocation", checkpoint_dir)
              .trigger(availableNow=True)
              .start())
-    finished = query.awaitTermination(300)
-    if not finished:
-        # never hand back partial parquet silently — stop the runaway
-        # query and surface the timeout to the caller
-        query.stop()
-        raise TimeoutError(
-            "dedup stream did not finish within 300s; output at "
-            f"{output_dir} is incomplete")
+    await_drained(query, 300, state_timeout_s is not None)
