@@ -82,7 +82,10 @@ def main() -> None:
     # point where per-row work, not job overhead, dominates.
     n_li = li.count()
 
-    xl_mult = int(os.environ.get("SPARK_GRAFT_XL_MULT", "512"))
+    # 2048 (1.23B rows at sf0.1) everywhere — the driver's direct bench run
+    # and tools/scaling_bench.py's pinned table measure the SAME workload
+    # (r2 used 512 here vs 2048 there: a needless apples-to-oranges)
+    xl_mult = int(os.environ.get("SPARK_GRAFT_XL_MULT", "2048"))
 
     @timed("spatial_enrich_xl")
     def _spatial_xl():
@@ -205,13 +208,18 @@ def main() -> None:
         return _force(pixel_block_tiles(geo, block=16, zoom=18))
 
     # ---- training-data ops: near-dup dedup + ANN over the doc/embedding tables
-    # corpus replicated DEDUP_MULT× (replicas are true near-dups — one
-    # appended token) so the shingle explode + band self-join + jaccard
-    # verify, not job overhead, dominate the timing
+    # Corpus = DEDUP_MULT× near-dup replicas (bounded verify work: pairs
+    # grow with mult², so mult stays small) + DEDUP_EXTRA fully-distinct
+    # synthetic docs (~40 generated tokens each, zero pairs) so the
+    # signature pass — the stage's linear-scaling work — dominates without
+    # quadratic candidate blow-up.  Same derive-from-range move as the
+    # headline: the workload grows linearly and measures the plan, not the
+    # dispatcher.
     @timed("dedup_near")
     def _dedup():
         from p3_osm_transformer_spark.operators.dedup import dedup_near
         mult = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", "4"))
+        extra = int(os.environ.get("SPARK_GRAFT_DEDUP_EXTRA", "100000"))
         d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
         reps = d.crossJoin(spark.range(mult).select(F.col("id").alias("_r")))
         corpus = reps.select(
@@ -219,8 +227,16 @@ def main() -> None:
             F.when(F.col("_r") == 0, F.col("text"))
              .otherwise(F.concat("text", F.lit(" rep"),
                                  F.col("_r").cast("string"))).alias("text"))
+        syn_toks = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.conv(((F.col("id") * 48611 + j * 2654435761)
+                              % 16777213).cast("string"), 10, 36))
+        synth = spark.range(0, extra).select(
+            (F.col("id") + 100_000_000).alias("doc_id"),
+            F.concat_ws(" ", syn_toks).alias("text"))
+        corpus = corpus.unionByName(synth)
         # the crossJoin inherits the parquet side's 1-2 partitions — without
-        # an explicit spread the whole signature explode serializes on 2
+        # an explicit spread the whole signature pass serializes on 2
         # tasks no matter how many cores the level has
         corpus = corpus.repartition(int(cpus) * 2, "doc_id")
         return _force(dedup_near(corpus, threshold=0.7))

@@ -166,6 +166,30 @@ def main() -> None:
           way_geometries(osm_ways(spark, 200, 1000), osm_nodes(spark, 1000)),
           must=["Generate", "HashAggregate"], must_not=["CartesianProduct"])
 
+    # 8. minhash band build (r3 rewrite): ONE shuffle-free projection —
+    # tokenize + universal-hash minhash + band keys all inside a single
+    # let-bound expression; no Exchange, no Python, no cartesian
+    from p3_osm_transformer_spark.operators.dedup import minhash_bands
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    audit("minhash band build (shuffle-free projection)",
+          minhash_bands(docs),
+          must=["Generate"],
+          must_not=["Exchange", "CartesianProduct", "BatchEvalPython",
+                    "MapInPandas"])
+
+    # 9. ANN LSH (r3 rewrite): literal-coefficient sketch (no per-row md5),
+    # candidate dedup on bare id pairs, embeddings re-joined for the exact
+    # re-rank — equi-joins + window only, never a cartesian/BNLJ, no Python
+    from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    aq = emb.filter("vec_id < 50").selectExpr("vec_id as query_id", "embedding")
+    ac = emb.selectExpr("vec_id as neighbor_id", "embedding")
+    audit("ann lsh bucket join + exact re-rank",
+          cosine_topk_lsh(aq, ac, k=5, prefix_bits=6),
+          must=["Window"],
+          must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython", "MapInPandas"])
+
     # write PLANS.md digest
     out = ["# PLANS.md — audited physical plans",
            "",

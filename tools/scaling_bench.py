@@ -9,8 +9,8 @@ then (re)writes BENCH/BASELINE.md.
 Two pairs are reported by default: 4->16 and 8->32.  Each level is pinned to
 exactly N cores with taskset and the headline input is sized so work, not
 per-job fixed overhead, dominates — see the Methodology section written
-into BENCH/BASELINE.md.  Measured with that protocol, both pairs exceed the
-north rule's 0.8 efficiency bar on this host.
+into BENCH/BASELINE.md.  The report states per-pair whether the north
+rule's >=0.8 gate is met — computed from the measurements, never asserted.
 
 Usage: python tools/scaling_bench.py [sf_dir]
 Env:   SPARK_GRAFT_SCALING_LEVELS="4,8,16,32"  SPARK_GRAFT_SCALING_TRIALS=3
@@ -26,6 +26,30 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+WORKLOAD_KNOBS = {
+    # every env knob that changes what a bench stage measures; recorded in
+    # each trial and part of the trial match key, so minima never mix
+    # incomparable workloads (ADVICE r2 #1)
+    "SPARK_GRAFT_XL_MULT": "2048",
+    "SPARK_GRAFT_KNN_MULT": "4",
+    "SPARK_GRAFT_DEDUP_MULT": "4",
+    "SPARK_GRAFT_DEDUP_EXTRA": "100000",
+    "SPARK_GRAFT_ANN_N": "200000",
+    "SPARK_GRAFT_BENCH_REPEATS": "2",
+}
+
+
+def _workload_key() -> dict:
+    key = {k: os.environ.get(k, v) for k, v in WORKLOAD_KNOBS.items()}
+    try:
+        key["git_sha"] = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        key["git_sha"] = "unknown"
+    return key
+
+
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
                # headline sized so work, not per-job fixed overhead (~2s of
@@ -34,7 +58,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
                # is ~15% of the 16-core wall and caps measured efficiency at
                # ~0.65; at XL=2048 (1.23B rows) the same plan measures 0.97.
                # The 10^12-row design point is further in this direction.
-               SPARK_GRAFT_XL_MULT=os.environ.get("SPARK_GRAFT_XL_MULT", "2048"))
+               **{k: os.environ.get(k, v) for k, v in WORKLOAD_KNOBS.items()})
     # Pin the WHOLE process tree to exactly `cpus` cores: local[N] bounds
     # Spark task threads only — JVM GC/shuffle/codegen threads and Python
     # workers otherwise spill onto all host cores, inflating low-N levels
@@ -49,8 +73,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         line = line.strip()
         if line.startswith("{"):
             r = json.loads(line)
-            _record_trial(r)
-            return r
+            # return the workload-stamped dict so the in-memory trial
+            # compares equal to its own recorded copy (no double count)
+            return _record_trial(r)
     raise RuntimeError(f"no JSON line in bench output:\n{out.stdout}\n{out.stderr}")
 
 
@@ -58,25 +83,30 @@ def _trials_path() -> str:
     return os.path.join(REPO, "BENCH", "trials.jsonl")
 
 
-def _record_trial(r: dict) -> None:
+def _record_trial(r: dict) -> dict:
     """Append the trial so future invocations can take minima across ALL
     recorded trials — on a shared ±2× host, capability = the best quiet
     window ever observed, and one invocation rarely catches one for every
-    level."""
+    level.  Every workload-defining knob plus the git SHA rides along and
+    is part of the match key: minima never merge trials of different
+    workloads or code versions (ADVICE r2 #1)."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    r = dict(r, xl_mult=int(os.environ.get("SPARK_GRAFT_XL_MULT", "2048")))
+    r = dict(r, workload=_workload_key())
     with open(_trials_path(), "a") as f:
         f.write(json.dumps(r) + "\n")
+    return r
 
 
-def _load_trials(sf_dir: str, xl_mult: int) -> dict[int, list[dict]]:
-    """All recorded trials matching this input configuration, by level."""
+def _load_trials(sf_dir: str) -> dict[int, list[dict]]:
+    """All recorded trials matching this input configuration (sf dir +
+    every workload knob + git SHA), by level."""
+    want = _workload_key()
     out: dict[int, list[dict]] = {}
     try:
         with open(_trials_path()) as f:
             for line in f:
                 r = json.loads(line)
-                if r.get("sf") == sf_dir and r.get("xl_mult") == xl_mult:
+                if r.get("sf") == sf_dir and r.get("workload") == want:
                     out.setdefault(int(r["cpus"]), []).append(r)
     except FileNotFoundError:
         pass
@@ -127,8 +157,7 @@ def main() -> None:
     # per-stage minimum across ALL recorded same-config trials (this
     # invocation's + BENCH/trials.jsonl history) = the capability number
     # on a noisy box
-    xl_mult = int(os.environ.get("SPARK_GRAFT_XL_MULT", "2048"))
-    history = _load_trials(sf_dir, xl_mult)
+    history = _load_trials(sf_dir)
     results: dict[int, dict] = {}
     for cpus, runs in raw.items():
         runs = runs + [r for r in history.get(cpus, []) if r not in runs]
@@ -167,22 +196,27 @@ def main() -> None:
         eff = (tph / tpl) / 4 if tpl else 0.0
         suite_eff = (rl["value"] / rh["value"]) / 4 if rh["value"] else 0.0
         eff_by_pair[(lo, hi)] = eff
+        gate = "MEETS" if eff >= 0.8 else "MISSES"
         lines.append(
             f"**Headline spatial-join+tile throughput scaling efficiency "
-            f"({lo}→{hi} vCPUs): {eff:.3f}** (throughput {tpl:,.0f} → "
+            f"({lo}→{hi} vCPUs): {eff:.3f}** — {gate} the north rule's "
+            f"≥0.8 gate (throughput {tpl:,.0f} → "
             f"{tph:,.0f} rows/s); suite-level wall-time speedup "
             f"{rl['value'] / rh['value']:.2f}×, efficiency {suite_eff:.3f}.")
         lines.append("")
+    try:
+        loadavg = round(os.getloadavg()[0], 1)
+    except OSError:
+        loadavg = None
     lines += [
-        "Pair interpretation on this shared host: levels pinned to ≤16",
-        "cores leave the other cores free for the co-tenant background",
-        "load (load-average ~5 throughout), so the OS keeps the pinned",
-        "cores effectively clean; the 32-core level by construction shares",
-        "every core with that load and measures the engine MINUS ~5 cores",
-        "of foreign work. The 4→16 pair is therefore the faithful",
-        "two-cluster-size proxy; the 8→32 pair under-reports the plan by",
-        "roughly the co-tenant share (5/32 ≈ 16%), consistent with the",
-        "python control below degrading the same way at 32.",
+        "Pair interpretation on this shared host: levels pinned to fewer",
+        "than all cores leave the remaining cores to any co-tenant load,",
+        "so low-N levels run on effectively clean cores while the",
+        "all-cores level shares every core with that load"
+        + (f" (1-min load average at report time: {loadavg})" if loadavg
+           is not None else "") + ".",
+        "The python control below measures the same host ceiling the same",
+        "way and is the honest yardstick for the 8→32 pair.",
         "",
     ]
     # per-stage efficiency for the expensive iterative/bucketed stages —
@@ -238,8 +272,14 @@ def main() -> None:
         "Control: a pure-python multiprocessing burn (no JVM, no Spark)",
         f"measures {ctrl[8]:.0f}M ops/s at 8 workers vs {ctrl[32]:.0f}M ops/s at 32 "
         f"— ratio {ctrl[32] / ctrl[8]:.2f}×, efficiency {ctrl_eff:.2f} —",
-        "the host's own 8→32 ceiling for interpreter-style work; the JVM",
-        "headline's measured efficiency sits at that same ceiling.",
+        "the host's own 8→32 ceiling for CPU-bound work measured in the",
+        "same session: no measured efficiency on this host should be read",
+        "against 1.0, but against this number."
+        + ((" The headline's measured 8→32 efficiency"
+            f" ({eff_by_pair[(8, 32)]:.3f}) is"
+            + (" at or above" if eff_by_pair[(8, 32)] >= ctrl_eff - 0.02
+               else " below")
+            + " that ceiling.") if (8, 32) in eff_by_pair else ""),
         "",
         "The engine's plans contain nothing that serializes with executor",
         "count: the headline stage is scan → codegen'd projection → broadcast",
