@@ -779,3 +779,86 @@ def q49(spark, sf_dir):
     # engines at the 4th decimal, and ids are the semantic output anyway
     pairs = cosine_near_dup_brute(base.unionByName(pert), threshold=0.95)
     return pairs.select("id_a", "id_b")
+
+
+# true S2 cell ids (functions/s2cell.py) — the full published pipeline
+# replayed in generated DuckDB SQL: strict-tie cube face, quadratic ST,
+# leaf (i,j) at 2^30, EIGHT lookup-table Hilbert rounds (the 1024-entry
+# spec table inlined as data), parent-at-level bit algebra, two's-
+# complement signed carrier.  Value-exact or nothing.
+def _s2_cellid_cte(level: int) -> str:
+    from p3_osm_transformer_spark.functions.s2cell import (
+        lookup_pos_sql_literal)
+    n = 1 << 30
+    lsb = 1 << (2 * (30 - level))
+    rounds = []
+    prev = "ij"
+    for k in range(7, -1, -1):
+        bits = "(face & 1)" if k == 7 else f"(v{k + 1} & 3)"
+        rounds.append(f"""
+h{k} AS (
+  SELECT c.*, lu{k}.v AS v{k}
+  FROM {prev} c JOIN lu lu{k}
+    ON lu{k}.idx = {bits} + ((i >> {4 * k}) & 15) * 64 + ((j >> {4 * k}) & 15) * 4)""")
+        prev = f"h{k}"
+    pos_sum = " + ".join(
+        f"(CAST(v{k} AS HUGEINT) // 4) * {1 << (8 * k)}" for k in range(8))
+    return f"""
+lu AS (
+  SELECT i - 1 AS idx, l[i] AS v
+  FROM (SELECT {lookup_pos_sql_literal()} AS l), generate_series(1, 1024) t(i)),
+xyz AS (
+  SELECT *, cos(radians(lat)) * cos(radians(lon)) AS x,
+            cos(radians(lat)) * sin(radians(lon)) AS y,
+            sin(radians(lat)) AS z
+  FROM pts),
+faced AS (
+  SELECT *, CASE WHEN abs(x) > abs(y)
+                 THEN CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END
+                 ELSE CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END END AS f0
+  FROM xyz),
+faced2 AS (
+  SELECT *, CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                 THEN f0 + 3 ELSE f0 END AS face
+  FROM faced),
+uv AS (
+  SELECT *, CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                      WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+            CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                      WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+  FROM faced2),
+st AS (
+  SELECT *, CASE WHEN u >= 0 THEN 0.5 * sqrt(greatest(1 + 3 * u, 0))
+                 ELSE 1 - 0.5 * sqrt(greatest(1 - 3 * u, 0)) END AS su,
+            CASE WHEN v >= 0 THEN 0.5 * sqrt(greatest(1 + 3 * v, 0))
+                 ELSE 1 - 0.5 * sqrt(greatest(1 - 3 * v, 0)) END AS sv
+  FROM uv),
+ij AS (
+  SELECT *, GREATEST(LEAST(CAST(FLOOR(su * {n}) AS BIGINT), {n - 1}), 0) AS i,
+            GREATEST(LEAST(CAST(FLOOR(sv * {n}) AS BIGINT), {n - 1}), 0) AS j
+  FROM st),{','.join(rounds)},
+cells AS (
+  SELECT *, (CAST(CAST(face AS BIGINT) * {1 << 60} AS HUGEINT)
+             + {pos_sum}) * 2 + 1 AS leaf
+  FROM h0),
+parents AS (
+  SELECT *, (leaf // {2 * lsb}) * {2 * lsb} + {lsb} AS pu FROM cells),
+s2cells AS (
+  SELECT *, CAST(CASE WHEN pu >= {1 << 63} THEN pu - {(1 << 64)} ELSE pu END
+                 AS BIGINT) AS s2id
+  FROM parents)
+"""
+
+
+@q("q50_s2_cellid", f"""
+WITH pts AS (
+  SELECT c_custkey, {point_sql('c_custkey')[0]} AS lon,
+         {point_sql('c_custkey')[1]} AS lat FROM customer),
+{_s2_cellid_cte(12)}
+SELECT c_custkey, s2id FROM s2cells
+""")
+def q50(spark, sf_dir):
+    from p3_osm_transformer_spark.functions.s2cell import s2_cellid
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = point_cols(F.col("c_custkey"))
+    return c.select("c_custkey", s2_cellid(lon, lat, 12).alias("s2id"))
