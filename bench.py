@@ -220,7 +220,13 @@ def main() -> None:
         from p3_osm_transformer_spark.operators.dedup import dedup_near
         mult = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", "4"))
         extra = int(os.environ.get("SPARK_GRAFT_DEDUP_EXTRA", "100000"))
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        # spread the SMALL parquet side (1-2 partitions) BEFORE the
+        # crossJoin: the replicated rows and the range-derived synth rows
+        # are then born parallel and never exchanged — repartitioning the
+        # assembled corpus moved ~30MB of generated text per run for
+        # nothing (the signature agg redistributes by doc_id anyway)
+        d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("doc_id", "text").repartition(int(cpus) * 2))
         reps = d.crossJoin(spark.range(mult).select(F.col("id").alias("_r")))
         corpus = reps.select(
             (F.col("doc_id") + F.col("_r") * 1_000_000).alias("doc_id"),
@@ -235,10 +241,6 @@ def main() -> None:
             (F.col("id") + 100_000_000).alias("doc_id"),
             F.concat_ws(" ", syn_toks).alias("text"))
         corpus = corpus.unionByName(synth)
-        # the crossJoin inherits the parquet side's 1-2 partitions — without
-        # an explicit spread the whole signature pass serializes on 2
-        # tasks no matter how many cores the level has
-        corpus = corpus.repartition(int(cpus) * 2, "doc_id")
         return _force(dedup_near(corpus, threshold=0.7))
 
     # ANN at a corpus size where the bucket join, not the task dispatcher,

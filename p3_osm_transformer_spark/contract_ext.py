@@ -102,10 +102,14 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sh AS (SELECT doc_id,
-  list_distinct(CASE WHEN len(toks) >= 3 THEN
+  -- the engine verifies Jaccard over the 60-bit base HASHES of the
+  -- shingles (dedup.py _doc_signatures: size-preserving modulo 2^-60
+  -- collisions); replay the identical hashed sets here
+  list_distinct(list_transform(CASE WHEN len(toks) >= 3 THEN
     list_transform(generate_series(1, len(toks) - 2),
                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-    ELSE [array_to_string(toks, ' ')] END) AS s FROM tk)
+    ELSE [array_to_string(toks, ' ')] END,
+    s -> (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_MH_P}))) AS s FROM tk)
 SELECT id_a, id_b,
   ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard

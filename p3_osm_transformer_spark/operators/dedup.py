@@ -144,91 +144,80 @@ def _shingles_df(docs: DataFrame, id_col: str, text_col: str,
             .filter(F.col("_sh").isNotNull()))
 
 
-def _minhash_agg(n_hashes: int, finish=None) -> "F.Column":
-    """One-pass minhash over a shingle array column ``_sh``: a single
-    ``F.aggregate`` whose accumulator is the n_hashes-wide running-min
-    vector, each element min'd against (A_i·base(shingle) + B_i) mod p.
-    ``finish`` (optional) post-processes the final vector INSIDE the same
-    expression — the accumulator is a lambda variable, so it is evaluated
-    exactly once no matter how many times ``finish`` references it.  That
-    once-binding is the whole trick: any OUTSIDE column that indexes the
-    aggregate's result gets the full aggregate inlined by CollapseProject
-    and re-evaluated per reference (measured: 8 references → ~8× the work).
+def _exploded_hashes(docs: DataFrame, id_col: str, text_col: str,
+                     shingle_n: int) -> DataFrame:
+    """(id, _b) — one row per shingle occurrence, ``_b`` = the 60-bit
+    md5-prefix base hash mod p (see ``_base_hash``).
 
-    The per-shingle base hash is ALSO let-bound (single-element transform
-    trick, see _shingles_df) so the md5 runs once per shingle, not once
-    per (shingle, i) — without the binding the zip_with lambda would
-    re-evaluate it n_hashes times.
+    This is the whole-stage-codegen form of the minhash input: Generate
+    (explode) + a codegen'd hash projection.  The r2 form computed the
+    same hashes inside an interpreted ``F.aggregate`` lambda, which
+    evaluates with boxed objects — ~150M transient java.lang.Long
+    allocations on the 120k-doc bench corpus.  On this host the stage was
+    memory-bandwidth-bound (a numpy stream control scales 8→32 cores at
+    0.48 vs 0.94 for pure ALU), so the allocation traffic was the scaling
+    ceiling, not the md5 work.  Measured on the bench corpus at
+    local[32]: 90.1 CPU-s interpreted vs 61.9 CPU-s exploded, identical
+    band-key checksums.
     """
+    sh = _shingles_df(docs, id_col, text_col, shingle_n)
+    return (sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+            .select(F.col(id_col), _base_hash(F.col("_s")).alias("_b")))
+
+
+def _min_hash_aggs(n_hashes: int) -> list[F.Column]:
+    """min((A_i·b + B_i) mod p) aggregate columns over ``_b`` — the
+    universal-hash minima as codegen'd HashAggregate expressions (long
+    arithmetic in unsafe buffers, no boxing).  Values are bit-identical
+    to the r2 interpreted accumulator: same base hash, same (A_i, B_i)
+    literals, same mod-p arithmetic — the q25 DuckDB oracle replays them
+    unchanged."""
     A, B = minhash_consts(n_hashes)
-    a_arr, b_arr = F.lit(A), F.lit(B)
-    init = F.array_repeat(F.lit(P_MINHASH).cast("long"), n_hashes)
+    return [F.min((F.lit(A[i]) * F.col("_b") + F.lit(B[i])) % F.lit(P_MINHASH))
+            .alias(f"mh_{i}") for i in range(n_hashes)]
 
-    def merge(acc: F.Column, s: F.Column) -> F.Column:
-        def upd(base: F.Column) -> F.Column:
-            return F.zip_with(
-                acc, F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda a, i: F.least(
-                    a, (F.element_at(a_arr, i + 1) * base
-                        + F.element_at(b_arr, i + 1)) % F.lit(P_MINHASH)))
-        return F.element_at(F.transform(F.array(_base_hash(s)), upd), 1)
 
-    return (F.aggregate("_sh", init, merge, finish) if finish is not None
-            else F.aggregate("_sh", init, merge))
+def _band_keys(n_hashes: int, band_size: int) -> F.Column:
+    """array<string> of ':'-joined per-band minima from mh_i columns —
+    bit-identical to the r2 finish-lambda band keys."""
+    n_bands = n_hashes // band_size
+    return F.array(*[
+        F.concat_ws(":", *[F.col(f"mh_{b * band_size + j}").cast("string")
+                           for j in range(band_size)])
+        for b in range(n_bands)])
 
 
 def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n_hashes: int = 8,
                          shingle_n: int = 3) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) via the one-pass minhash aggregate.
+    """(id, mh_0..mh_{n-1}) — explode + codegen'd hash-aggregate minima.
 
-    Shape rationale, measured: the old explode → md5-column → groupBy-min
-    form paid Generate machinery per shingle row plus an aggregate
-    exchange; the one-pass form makes the same md5 calls in a single
-    projection, so signature values — and the q21/q25 DuckDB oracle
-    replays — are bit-identical.  The repartition between the aggregate
-    and the 8-column split is a deliberate CollapseProject barrier: it
-    materializes the min-vector ONCE as a shuffle attribute; without it,
-    each mh_i projection would inline and re-run the whole aggregate
-    (8× the md5 work).  The shuffled rows are (id, 8 hex strings) — the
-    same bytes the old aggregate exchange moved, so scale cost is
-    unchanged.  Prefer ``minhash_bands`` when only band keys are needed:
-    it keeps everything in one shuffle-free projection via the
-    finish-lambda form.
+    Plan: Generate → projection (one md5 per shingle) → partial
+    HashAggregate (map-side min, runs where the shingles were generated)
+    → one exchange of (id, n_hashes longs) → final HashAggregate.  Every
+    operator is whole-stage-codegen; nothing is interpreted, nothing
+    boxes.  The exchange moves one small fixed-width row per document —
+    on a corpus bucketed by ``id_col`` (sources/bucketed.py) it is elided
+    entirely, and dedup pipelines shuffle band keys right after anyway,
+    so the agg exchange is never the marginal shuffle at scale.
     """
-    sh = _shingles_df(docs, id_col, text_col, shingle_n)
-    sig = (sh.select(id_col, _minhash_agg(n_hashes).alias("_mins"))
-           .repartition(F.col(id_col)))
-    return sig.select(id_col, *[F.col("_mins")[i].alias(f"mh_{i}")
-                                for i in range(n_hashes)])
+    ex = _exploded_hashes(docs, id_col, text_col, shingle_n)
+    return ex.groupBy(id_col).agg(*_min_hash_aggs(n_hashes))
 
 
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n_hashes: int = 8,
                   band_size: int = 2, shingle_n: int = 3) -> DataFrame:
-    """(id, band_idx, band_key) — LSH bucket keys, ONE shuffle-free pass.
-
-    The band keys are computed inside the minhash aggregate's finish
-    lambda (':'-joined minima of each band — bit-identical to joining the
-    mh_i columns, so the q25 oracle replays them with concat_ws), then
-    posexploded.  Signatures never exist as separate columns, so nothing
-    can trigger the CollapseProject re-evaluation the column form has to
-    shuffle-barrier against — band building is a pure projection that
-    runs where the documents live.
-    """
-    n_bands = n_hashes // band_size
-
-    def finish(acc: F.Column) -> F.Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.concat_ws(":", F.transform(
-                F.slice(acc, b * band_size + 1, band_size),
-                lambda x: x.cast("string"))))
-
-    sh = _shingles_df(docs, id_col, text_col, shingle_n)
-    keyed = sh.select(id_col, _minhash_agg(n_hashes, finish).alias("_bk"))
-    return (keyed.select(id_col, F.posexplode("_bk")
-                         .alias("band_idx", "band_key")))
+    """(id, band_idx, band_key) — LSH bucket keys from the codegen'd
+    signature aggregate (see ``minhash_signature_df``), band keys joined
+    post-agg and posexploded.  Band-key values are bit-identical to the
+    r2 finish-lambda form (same minima, same ':' join), so the q25
+    oracle replay is unchanged."""
+    sig = minhash_signature_df(docs, id_col, text_col, n_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(_band_keys(n_hashes, band_size))
+         .alias("band_idx", "band_key"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -292,53 +281,38 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame,
 def _doc_signatures(docs: DataFrame, id_col: str, text_col: str,
                     n_hashes: int, band_size: int,
                     shingle_n: int) -> DataFrame:
-    """(id, sh:array<string>, bands:array<string>) — the distinct shingle
-    set AND the LSH band keys of every document, ONE tokenize + ONE
-    minhash pass, in a single projection.
+    """(id, hset:array<long>, bands:array<string>) — the distinct
+    shingle-HASH set AND the LSH band keys of every document, one
+    tokenize + one md5-per-shingle pass through the codegen'd explode +
+    HashAggregate pipeline (see ``_exploded_hashes``).
 
-    The shingle array is let-bound (single-element transform trick, see
-    _shingles_df) and both outputs are computed inside that one lambda as
-    a struct — naming the array in a projection and referencing it twice
-    would make CollapseProject inline and re-run the tokenizer per
-    reference."""
-    def build(sh: F.Column) -> F.Column:
-        n_bands = n_hashes // band_size
-        A, B = minhash_consts(n_hashes)
-        a_arr, b_arr = F.lit(A), F.lit(B)
-        init = F.array_repeat(F.lit(P_MINHASH).cast("long"), n_hashes)
-
-        def merge(acc: F.Column, s: F.Column) -> F.Column:
-            def upd(base: F.Column) -> F.Column:
-                return F.zip_with(
-                    acc, F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                    lambda a, i: F.least(
-                        a, (F.element_at(a_arr, i + 1) * base
-                            + F.element_at(b_arr, i + 1)) % F.lit(P_MINHASH)))
-            return F.element_at(F.transform(F.array(_base_hash(s)), upd), 1)
-
-        def finish(acc: F.Column) -> F.Column:
-            return F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.concat_ws(":", F.transform(
-                    F.slice(acc, b * band_size + 1, band_size),
-                    lambda x: x.cast("string"))))
-
-        return F.struct(
-            F.array_distinct(sh).alias("sh"),
-            F.aggregate(sh, init, merge, finish).alias("bands"))
-
-    base = _shingles_df(docs, id_col, text_col, shingle_n)
-    combined = F.element_at(F.transform(F.array(F.col("_sh")), build), 1)
-    return base.select(F.col(id_col), combined.alias("_c")) \
-               .select(id_col, F.col("_c.sh").alias("sh"),
-                       F.col("_c.bands").alias("bands"))
+    ``hset`` carries the 60-bit base hashes, not the shingle strings: the
+    Jaccard refine only needs set intersection/union SIZES, which are
+    preserved by any injective-enough hash — at ~10³ shingles per
+    document pair the 2^-60 collision odds are ~10^-12, and the q25
+    DuckDB oracle computes the SAME hashed sets, so even a collision
+    cannot diverge engine from oracle.  Longs instead of ~25-byte strings
+    cut the checkpoint + verify-join bytes ~3× and keep array_intersect
+    on fixed-width values (no string compares) — this table is
+    materialized once and read from three sides (band explode, verify
+    id_a side, verify id_b side)."""
+    ex = _exploded_hashes(docs, id_col, text_col, shingle_n)
+    sig = ex.groupBy(id_col).agg(*_min_hash_aggs(n_hashes),
+                                 F.collect_set("_b").alias("hset"))
+    return sig.select(F.col(id_col), F.col("hset"),
+                      _band_keys(n_hashes, band_size).alias("bands"))
 
 
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                threshold: float = 0.7, n_hashes: int = 8, band_size: int = 2,
                shingle_n: int = 3, max_bucket: int = 1000) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → Jaccard verify, TWO driver
-    actions total.
+    """Full near-dup pipeline: LSH candidates → Jaccard verify, ONE driver
+    action inside (the signature checkpoint) — the candidates→verify plan
+    is returned LAZY, so the caller's own materialization (noop write,
+    snapshot, collect) is the second and last action.  Every driver
+    action costs ~0.5-1.3s of serial Catalyst+scheduling dead time that
+    no executor count can shrink, so the action count IS the serial floor
+    of the stage's core-scaling.
 
     Shape rationale, measured (event-log breakdowns at local[32], 20k-doc
     corpus):
@@ -354,16 +328,19 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
       ~30s of real CPU).
 
     The correct shape is one EAGER materialization of the per-document
-    signature table (shingle set + band keys, one tokenize + one minhash
-    pass — ``_doc_signatures``), then the whole candidates→verify plan
-    reads those checkpointed blocks from every side, with one terminal
-    eager checkpoint.  localCheckpoint (not .cache) holds the blocks:
-    downstream stages never race a cold cache, there is no cache-manager
-    entry to leak, and the driver's ContextCleaner frees the blocks when
-    the result goes out of scope.  At 10^12 rows the signature checkpoint
+    signature table (shingle-hash set + band keys, one tokenize + one
+    minhash pass — ``_doc_signatures``), then the whole candidates→verify
+    plan reads those checkpointed blocks from every side.  localCheckpoint
+    (not .cache) holds the blocks: downstream stages never race a cold
+    cache, there is no cache-manager entry to leak, and the driver's
+    ContextCleaner frees the blocks when the result — whose lineage pins
+    them — goes out of scope.  At 10^12 rows the signature checkpoint
     becomes a persisted signatures table (sources/catalog.py snapshot)
     and the verify's explicit repartition is the shuffle that distributes
-    candidate pairs across the cluster.
+    candidate pairs across the cluster.  Callers that act on the result
+    more than once should materialize it themselves (snapshot write /
+    .cache) — the r2 terminal eager checkpoint protected that case but
+    charged every single-action caller a whole extra driver round-trip.
 
     The verify join repartitions pairs explicitly: AQE coalesces by BYTES,
     and 40k candidate pairs are tiny on disk but carry ~20ms of
@@ -388,16 +365,19 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct()
              .repartition(n_part, "id_a"))
-    sh = sig.select(id_col, "sh")
+    # Jaccard over the shingle-HASH sets (see _doc_signatures: size-
+    # preserving modulo 2^-60 collisions, and the q25 oracle hashes the
+    # same way) — fixed-width long intersects, ~3× fewer joined bytes
+    # than shingle strings.
+    sh = sig.select(id_col, "hset")
     j = (pairs
-         .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
+         .join(sh.select(F.col(id_col).alias("id_a"), F.col("hset").alias("sh_a")), "id_a")
+         .join(sh.select(F.col(id_col).alias("id_b"), F.col("hset").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (j.withColumn("jaccard", F.round(inter / union, 6))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-            .localCheckpoint(eager=True))
+            .select("id_a", "id_b", "jaccard"))
 
 
 # ---------------------------------------------------------------- simhash

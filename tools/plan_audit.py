@@ -166,16 +166,27 @@ def main() -> None:
           way_geometries(osm_ways(spark, 200, 1000), osm_nodes(spark, 1000)),
           must=["Generate", "HashAggregate"], must_not=["CartesianProduct"])
 
-    # 8. minhash band build (r3 rewrite): ONE shuffle-free projection —
-    # tokenize + universal-hash minhash + band keys all inside a single
-    # let-bound expression; no Exchange, no Python, no cartesian
+    # 8. minhash band build (r3.2 rewrite): explode → codegen'd hash
+    # projection → partial/final HashAggregate minima.  Nothing
+    # interpreted, nothing Python; exactly ONE exchange (the agg's
+    # fixed-width (id, 8 longs) rows — elided on a doc_id-bucketed
+    # source, and dominated by the band shuffle that always follows).
+    # The prior shuffle-free interpreted-aggregate form evaluated with
+    # boxed longs and was memory-bandwidth-bound (BENCH/BASELINE.md
+    # stream control): 90.1 vs 61.9 CPU-s at local[32], same checksums.
     from p3_osm_transformer_spark.operators.dedup import minhash_bands
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
-    audit("minhash band build (shuffle-free projection)",
-          minhash_bands(docs),
-          must=["Generate"],
-          must_not=["Exchange", "CartesianProduct", "BatchEvalPython",
-                    "MapInPandas"])
+    mb_plan = plan_of(minhash_bands(docs))
+    mb_ok = (all(m in mb_plan for m in ("Generate", "HashAggregate"))
+             and not any(m in mb_plan for m in
+                         ("CartesianProduct", "BatchEvalPython", "MapInPandas"))
+             and mb_plan.count("Exchange") == 1)
+    checks.append(("minhash band build (codegen explode + hash-agg)", mb_plan,
+                   ["Generate", "HashAggregate", "exactly one Exchange"],
+                   ["CartesianProduct", "BatchEvalPython", "MapInPandas"]))
+    print("minhash band build (codegen explode + hash-agg): "
+          f"{'OK' if mb_ok else 'VIOLATION'} "
+          f"(exchanges={mb_plan.count('Exchange')})")
 
     # 9. ANN LSH (r3 rewrite): literal-coefficient sketch (no per-row md5),
     # candidate dedup on bare id pairs, embeddings re-joined for the exact
