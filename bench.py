@@ -82,17 +82,25 @@ def main() -> None:
     # point where per-row work, not job overhead, dominates.
     n_li = li.count()
 
-    # 2048 (1.23B rows at sf0.1) everywhere — the driver's direct bench run
-    # and tools/scaling_bench.py's pinned table measure the SAME workload
-    # (r2 used 512 here vs 2048 there: a needless apples-to-oranges)
-    xl_mult = int(os.environ.get("SPARK_GRAFT_XL_MULT", "2048"))
+    # 8192 (4.9B rows at sf0.1) everywhere — the driver's direct bench run
+    # and tools/scaling_bench.py's pinned table measure the SAME workload.
+    # Sized UP from r2's 2048 after the BNLJ→cell-BHJ rewrite made the
+    # stage 4× cheaper per row: at 2048 the 32-core wall fell under 5s and
+    # fixed per-job overhead (~1.5s driver planning + dispatch) capped
+    # measurable scaling efficiency at ~0.6 regardless of the plan.
+    xl_mult = int(os.environ.get("SPARK_GRAFT_XL_MULT", "8192"))
 
     @timed("spatial_enrich_xl")
     def _spatial_xl():
         n_rows = n_li * xl_mult
         key = F.col("id") + 1
         lon, lat = point_cols(key)
-        pts = spark.range(0, n_rows).select(
+        # 8 tasks per core: spark.range defaults to ONE partition per core
+        # (default.parallelism), i.e. a single task wave — one straggler
+        # core (co-tenant steal, GC pause) stretches the whole stage by
+        # its own length.  8 waves let idle cores absorb the tail at a
+        # ~5ms/task dispatch cost.
+        pts = spark.range(0, n_rows, 1, int(cpus) * 8).select(
             key.alias("point_id"), lon.alias("lon"), lat.alias("lat"))
         from p3_osm_transformer_spark.operators.pip import pip_join_rect
         from p3_osm_transformer_spark.operators.tile_assign import assign_tiles
@@ -145,7 +153,7 @@ def main() -> None:
         # knn_mult× lineitem-scale points: the ring loop runs ~6 driver
         # actions per call, so the per-round join must dwarf scheduling or
         # the stage measures the dispatcher, not the plan
-        pts = spark.range(0, n_li * knn_mult).select(
+        pts = spark.range(0, n_li * knn_mult, 1, int(cpus) * 8).select(
             key.alias("point_id"), lon.alias("lon"), lat.alias("lat"))
         slon, slat = point_cols(F.col("s_suppkey") * 7 + 3)
         addrs = supp.select(F.col("s_suppkey").cast("string").alias("addr_id"),
@@ -237,7 +245,7 @@ def main() -> None:
             F.sequence(F.lit(1), F.lit(40)),
             lambda j: F.conv(((F.col("id") * 48611 + j * 2654435761)
                               % 16777213).cast("string"), 10, 36))
-        synth = spark.range(0, extra).select(
+        synth = spark.range(0, extra, 1, int(cpus) * 8).select(
             (F.col("id") + 100_000_000).alias("doc_id"),
             F.concat_ws(" ", syn_toks).alias("text"))
         corpus = corpus.unionByName(synth)
@@ -257,7 +265,7 @@ def main() -> None:
         vec = F.transform(
             dims, lambda d: (((F.col("id") + 1) * (d * 37 + 11) % 997)
                              / 498.5 - 1.0).cast("double"))
-        corpus = spark.range(0, n_corpus).select(
+        corpus = spark.range(0, n_corpus, 1, int(cpus) * 8).select(
             F.col("id").alias("neighbor_id"), vec.alias("embedding"))
         qv = spark.range(0, 200).select(
             (F.col("id") + 5_000_000).alias("query_id"), vec.alias("embedding"))

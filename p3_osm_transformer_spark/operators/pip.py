@@ -127,12 +127,39 @@ def pip_join(points: DataFrame, polygons: DataFrame,
                 .mapInPandas(refine, schema))
 
 
-def pip_join_rect(points: DataFrame, rects: DataFrame) -> DataFrame:
+def pip_join_rect(points: DataFrame, rects: DataFrame,
+                  g: int = 6) -> DataFrame:
     """Rectangle fast path — 100% Catalyst (and the DuckDB-oracle-checkable
     twin of pip_join): bbox containment IS the exact test for axis-aligned
-    polygons."""
-    return points.join(
-        rects,
-        (points.lon >= rects.bbox_lon0) & (points.lon <= rects.bbox_lon1)
-        & (points.lat >= rects.bbox_lat0) & (points.lat <= rects.bbox_lat1),
-        "inner")
+    polygons.
+
+    Plan: the same filter-refine shape as ``pip_join`` — rects explode to
+    their covering cells at resolution ``g``, points compute one cell id,
+    broadcast HASH equi-join on the cell, bbox containment as the
+    codegen'd residual filter.  A point inside a rect always shares the
+    rect's covering cell at any g (cell_xy clamps out-of-range rect
+    corners to the grid edge, keeping coverage a superset), and each
+    matching (point, rect) pair shares exactly ONE cell — the point's —
+    so no post-join dedup is needed.
+
+    Why not the obvious inequality-only join: Spark plans it as
+    BroadcastNestedLoopJoin, which does NOT participate in whole-stage
+    codegen — every input row materializes an UnsafeRow at the join
+    boundary.  On the 1.23B-row headline at local[32] that is ~130GB of
+    memory traffic, and this host's memory system scales 8→32 cores at
+    only ~0.48 (BENCH/BASELINE.md stream control) vs 0.94 for ALU work —
+    measured as 1.34× executor-CPU inflation.  The cell-keyed
+    BroadcastHashJoin keeps the probe and the residual filter inside one
+    codegen span from the range/scan to the partial aggregate.  ``g=6``
+    (64×64 grid) keeps the exploded broadcast at ~50 cells per
+    continent-sized rect; finer g trades broadcast size for fewer
+    residual-filter candidates.
+    """
+    polys = F.broadcast(polygon_cover_cells(rects, g))
+    pts = points.withColumn("cover_cell", cell_id(F.col("lon"), F.col("lat"), g))
+    return (pts.join(polys, "cover_cell")
+            .filter((F.col("lon") >= F.col("bbox_lon0"))
+                    & (F.col("lon") <= F.col("bbox_lon1"))
+                    & (F.col("lat") >= F.col("bbox_lat0"))
+                    & (F.col("lat") <= F.col("bbox_lat1")))
+            .drop("cover_cell"))

@@ -30,7 +30,7 @@ WORKLOAD_KNOBS = {
     # every env knob that changes what a bench stage measures; recorded in
     # each trial and part of the trial match key, so minima never mix
     # incomparable workloads (ADVICE r2 #1)
-    "SPARK_GRAFT_XL_MULT": "2048",
+    "SPARK_GRAFT_XL_MULT": "8192",
     "SPARK_GRAFT_KNN_MULT": "4",
     "SPARK_GRAFT_DEDUP_MULT": "4",
     "SPARK_GRAFT_DEDUP_EXTRA": "100000",
@@ -52,12 +52,14 @@ def _workload_key() -> dict:
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
-               # headline sized so work, not per-job fixed overhead (~2s of
-               # driver planning + job scheduling + AQE materialization),
-               # dominates even at the lowest level: at XL=512 that overhead
-               # is ~15% of the 16-core wall and caps measured efficiency at
-               # ~0.65; at XL=2048 (1.23B rows) the same plan measures 0.97.
-               # The 10^12-row design point is further in this direction.
+               # headline sized so work, not per-job fixed overhead (~1.5s
+               # of driver planning + dispatch + AQE materialization),
+               # dominates even at the HIGHEST level: after the
+               # BNLJ→cell-BHJ rewrite the plan costs ~0.08 CPU-ns/row, so
+               # XL=2048 finishes in <5s at 32 cores and overhead caps
+               # measured efficiency at ~0.6; XL=8192 (4.9B rows) keeps
+               # the 32-core wall ~20s (<10% overhead).  The 10^12-row
+               # design point is further in this direction.
                **{k: os.environ.get(k, v) for k, v in WORKLOAD_KNOBS.items()})
     # Pin the WHOLE process tree to exactly `cpus` cores: local[N] bounds
     # Spark task threads only — JVM GC/shuffle/codegen threads and Python
