@@ -866,3 +866,29 @@ def q50(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     lon, lat = point_cols(F.col("c_custkey"))
     return c.select("c_custkey", s2_cellid(lon, lat, 12).alias("s2id"))
+
+
+# icosahedral aperture-7 hexcells (functions/hexcell.py) — the whole
+# encode replayed in generated DuckDB SQL: 20 face-center dot products +
+# argmax CASE, trig-free gnomonic projection, axial hex coordinates,
+# float hex rounding once, then NINE exact-integer digit rounds (parent
+# division by the aperture matrix on sevenths — no float, no tie) into
+# the H3-style packed id.  Value-exact or nothing.
+def _hexcell_cte(res: int) -> str:
+    from p3_osm_transformer_spark.functions.hexcell import (
+        hex_cellid_replay_cte)
+    return hex_cellid_replay_cte(res)
+
+
+@q("q51_hexcell", f"""
+WITH pts AS (
+  SELECT c_custkey AS _k0, {point_sql('c_custkey')[0]} AS lon,
+         {point_sql('c_custkey')[1]} AS lat FROM customer),
+{_hexcell_cte(9)}
+SELECT _key AS c_custkey, hexid FROM hexcells
+""")
+def q51(spark, sf_dir):
+    from p3_osm_transformer_spark.functions.hexcell import hex_cellid
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = point_cols(F.col("c_custkey"))
+    return c.select("c_custkey", hex_cellid(lon, lat, 9).alias("hexid"))

@@ -28,14 +28,17 @@ BLOCK_DEG = 0.0001
 
 def assign_tiles(df: DataFrame, zooms: tuple[int, ...] = (12, 15),
                  cell_resolutions: tuple[int, ...] = (7, 8, 9, 10),
-                 s2_levels: tuple[int, ...] = ()) -> DataFrame:
+                 s2_levels: tuple[int, ...] = (),
+                 hex_resolutions: tuple[int, ...] = ()) -> DataFrame:
     """Slippy tiles + geocell columns (pure codegen); optionally true S2
-    cell ids (functions/s2cell.py, Arrow-batched) as ``s2_{level}``
-    columns.  S2 is opt-in so codegen-only callers (the headline bench
+    cell ids (functions/s2cell.py) as ``s2_{level}`` columns and
+    icosahedral aperture-7 hexcells (functions/hexcell.py) as
+    ``hex_{res}`` columns — both Arrow-batched numpy.  The Python-backed
+    families are opt-in so codegen-only callers (the headline bench
     stage, PIP pre-filters) keep a Python-free plan; the flagship enrich
-    pipeline turns it on — one pandas_udf evaluation per level, then all
-    downstream rollup/containment algebra (s2_parent/s2_range_*) stays
-    in Catalyst."""
+    pipeline turns them on — one pandas_udf evaluation per level, then
+    all downstream rollup/containment algebra (s2_parent/hex_parent/
+    hex_axial) stays in Catalyst."""
     out = with_cells(df, "lon", "lat", cell_resolutions)
     for z in zooms:
         out = out.withColumn(f"tile_z{z}", tile_id(F.col("lon"), F.col("lat"), z))
@@ -44,6 +47,11 @@ def assign_tiles(df: DataFrame, zooms: tuple[int, ...] = (12, 15),
         for lv in s2_levels:
             out = out.withColumn(
                 f"s2_{lv}", s2_cellid(F.col("lon"), F.col("lat"), lv))
+    if hex_resolutions:
+        from p3_osm_transformer_spark.functions.hexcell import hex_cellid
+        for rs in hex_resolutions:
+            out = out.withColumn(
+                f"hex_{rs}", hex_cellid(F.col("lon"), F.col("lat"), rs))
     return out
 
 

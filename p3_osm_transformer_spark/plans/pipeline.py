@@ -61,10 +61,11 @@ def enrich_images(images: DataFrame, addresses: DataFrame,
     tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     _TAGGED_CACHE.append(tagged)
     geo = tagged.filter(F.col("lat").isNotNull())
-    # true S2 ids at level 12 ride along (north star: "H3 … and S2 cell
-    # encodes" on the enriched record); geocell columns cover the H3-alias
-    # resolutions 7-10
-    geo = assign_tiles(geo, s2_levels=(12,))
+    # true S2 ids at level 12 and aperture-7 hexcells at res 9 ride along
+    # (north star: "H3 … and S2 cell encodes" on the enriched record);
+    # geocell columns cover the H3-alias resolutions 7-10, hexcell adds
+    # the true-hexagon hierarchy (functions/hexcell.py)
+    geo = assign_tiles(geo, s2_levels=(12,), hex_resolutions=(9,))
 
     pts = geo.select(F.col("image_id").alias("point_id"), "lon", "lat")
     addr = addresses.select("addr_id", "street_address", "lat", "lon")

@@ -213,18 +213,24 @@ def test_state_timeout_retires_and_readmits_key(spark, tmp_path):
     _write_batch(spark, indir, [("img-a1", 1, "c"), ("img-b1", 2, "c")])
     run()
     time.sleep(2.5)            # both keys idle past the 1s window
-    # run 2: key 1 reappears after the idle window → its state was
-    # retired at the batch boundary, so it is re-admitted (the unbounded
-    # op — see the checkpoint-resume tests — would suppress it forever)
-    _write_batch(spark, indir, [("img-a2", 1, "c")])
+    # run 2: data for an UNRELATED key drives the cleanup batch — expired
+    # timers fire in any micro-batch, but only for groups WITHOUT new
+    # data in that same batch (Spark invokes groups that have data with
+    # hasTimedOut=False and their old state, so a key that reappears in
+    # the very batch of its expiry would be suppressed — a real
+    # GroupStateTimeout semantic the assertion must sequence around, not
+    # race; and an availableNow run with no new files may execute zero
+    # batches, so an empty drain cannot be the sequencer either).
+    _write_batch(spark, indir, [("img-c1", 3, "c")])
     run()
-    time.sleep(2.5)
-    # run 3: key 2, idle since run 1 → equally retired and re-admitted
-    _write_batch(spark, indir, [("img-b3", 2, "c")])
+    # run 3: keys 1 and 2 reappear after their retirement → both were
+    # removed in run 2's cleanup, so both are re-admitted (the unbounded
+    # op — see the checkpoint-resume tests — would suppress them forever)
+    _write_batch(spark, indir, [("img-a2", 1, "c"), ("img-b3", 2, "c")])
     run()
 
     got = sorted(r.image_id for r in spark.read.parquet(outdir).collect())
-    assert got == ["img-a1", "img-a2", "img-b1", "img-b3"]
+    assert got == ["img-a1", "img-a2", "img-b1", "img-b3", "img-c1"]
 
 
 def test_sessionize_late_event_flagged_and_repaired_to_batch_twin(spark, tmp_path):
