@@ -38,16 +38,27 @@ WORKLOAD_KNOBS = {
     "SPARK_GRAFT_BENCH_REPEATS": "2",
 }
 
+# Bump whenever bench.py's stage definitions or a measured operator's
+# plan changes materially — trials across different versions never merge.
+# The git SHA of every trial is still RECORDED (audit trail) but is not
+# part of the match key: doc-only commits between trials must not orphan
+# the accumulated minima, while a version bump here deliberately does.
+WORKLOAD_VERSION = "r3.2-codegen-minhash+cellBHJ+xl8192"
+
 
 def _workload_key() -> dict:
     key = {k: os.environ.get(k, v) for k, v in WORKLOAD_KNOBS.items()}
+    key["workload_version"] = WORKLOAD_VERSION
+    return key
+
+
+def _git_sha() -> str:
     try:
-        key["git_sha"] = subprocess.run(
+        return subprocess.run(
             ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10).stdout.strip()
     except Exception:
-        key["git_sha"] = "unknown"
-    return key
+        return "unknown"
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
@@ -70,7 +81,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, timeout=1800, check=True)
+        cmd, env=env, capture_output=True, text=True, timeout=2700, check=True)
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -89,11 +100,12 @@ def _record_trial(r: dict) -> dict:
     """Append the trial so future invocations can take minima across ALL
     recorded trials — on a shared ±2× host, capability = the best quiet
     window ever observed, and one invocation rarely catches one for every
-    level.  Every workload-defining knob plus the git SHA rides along and
-    is part of the match key: minima never merge trials of different
-    workloads or code versions (ADVICE r2 #1)."""
+    level.  Every workload-defining knob plus WORKLOAD_VERSION is the
+    match key (minima never merge trials of different workloads or
+    measured-code versions, ADVICE r2 #1); the git SHA is recorded per
+    trial as the audit trail."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    r = dict(r, workload=_workload_key())
+    r = dict(r, workload=_workload_key(), git_sha=_git_sha())
     with open(_trials_path(), "a") as f:
         f.write(json.dumps(r) + "\n")
     return r
