@@ -112,9 +112,22 @@ def main() -> None:
             .withColumn("bbox_lon1", F.col("bbox_lon0") + 30.0) \
             .withColumn("bbox_lat1", F.col("bbox_lat0") + 20.0)
         joined = pip_join_rect(tiled, F.broadcast(rects))
+        # The aggregate consumes EVERY enrichment column (both tile zooms
+        # + all four cell resolutions), for two reasons: (a) that is the
+        # north-star record shape — each image row carries its full cell/
+        # tile encode set, so a proxy that lets Catalyst prune all but one
+        # column measures a lighter plan than the real pipeline; (b) it
+        # keeps the stage compute-dense (more ALU per generated byte),
+        # so its scaling reads against the host's ALU control, not the
+        # memory-bandwidth control (BENCH/BASELINE.md ceilings).
         agg = (joined.groupBy("n_nationkey")
                .agg(F.count("*").alias("n_pts"),
-                    F.sum("tile_z15").alias("tile_checksum")))
+                    F.sum("tile_z15").alias("tile_checksum"),
+                    F.sum("tile_z12").alias("cs_z12"),
+                    F.sum("cell_r7").alias("cs_r7"),
+                    F.sum("cell_r8").alias("cs_r8"),
+                    F.sum("cell_r9").alias("cs_r9"),
+                    F.sum("cell_r10").alias("cs_r10")))
         _force(agg)
         return n_rows
 

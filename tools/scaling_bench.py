@@ -43,7 +43,7 @@ WORKLOAD_KNOBS = {
 # The git SHA of every trial is still RECORDED (audit trail) but is not
 # part of the match key: doc-only commits between trials must not orphan
 # the accumulated minima, while a version bump here deliberately does.
-WORKLOAD_VERSION = "r3.2-codegen-minhash+cellBHJ+xl8192"
+WORKLOAD_VERSION = "r3.3-allcols-agg+cellBHJ+xl8192"
 
 
 def _workload_key() -> dict:
