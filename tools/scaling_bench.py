@@ -171,11 +171,22 @@ def _stream(n: int) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     ctrls = host_controls()
-    ctrl = ctrls["alu"]
+    # controls are as noise-exposed as the trials: accumulate and use the
+    # best observed throughput per (metric, worker-count) — the ceiling is
+    # by definition the quietest window ever seen
+    cpath = os.path.join(REPO, "BENCH", "controls.jsonl")
+    os.makedirs(os.path.dirname(cpath), exist_ok=True)
+    with open(cpath, "a") as f:
+        f.write(json.dumps(ctrls) + "\n")
+    hist = [json.loads(line) for line in open(cpath)]
+    best = {m: {n: max(h[m][str(n)] if str(n) in h.get(m, {}) else h[m][n]
+                       for h in hist if m in h)
+                for n in (8, 32)} for m in ("alu", "stream")}
+    ctrl = best["alu"]
     ctrl_eff = (ctrl[32] / ctrl[8]) / 4
-    bw = ctrls["stream"]
+    bw = best["stream"]
     bw_eff = (bw[32] / bw[8]) / 4
-    print(f"controls: alu={ctrl} eff={ctrl_eff:.2f}  "
+    print(f"controls (best-of-{len(hist)}): alu={ctrl} eff={ctrl_eff:.2f}  "
           f"stream={bw} eff={bw_eff:.2f}")
     # The sandbox host is shared/contended: single runs vary ±2×.  Alternate
     # trials and keep, per level, the run with the best headline throughput —
