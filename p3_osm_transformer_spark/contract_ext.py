@@ -102,14 +102,15 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sh AS (SELECT doc_id,
-  -- the engine verifies Jaccard over the 60-bit base HASHES of the
-  -- shingles (dedup.py _doc_signatures: size-preserving modulo 2^-60
-  -- collisions); replay the identical hashed sets here
+  -- the engine verifies Jaccard over the FULL 60-bit base hashes of the
+  -- shingles (dedup.py _doc_signatures: un-modded md5 prefix, ~1e-12
+  -- per-pair collision odds; the mod-p reduction lives only inside the
+  -- minhash family above); replay the identical hashed sets here
   list_distinct(list_transform(CASE WHEN len(toks) >= 3 THEN
     list_transform(generate_series(1, len(toks) - 2),
                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
     ELSE [array_to_string(toks, ' ')] END,
-    s -> (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_MH_P}))) AS s FROM tk)
+    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS s FROM tk)
 SELECT id_a, id_b,
   ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
@@ -474,21 +475,10 @@ cells AS (
 """
 
 
-@q("q38_s2z_cells", f"""
-WITH pts AS (
-  SELECT c_custkey, {point_sql('c_custkey')[0]} AS lon,
-         {point_sql('c_custkey')[1]} AS lat FROM customer),
-{_s2z_cte('lon', 'lat', 12)}
-SELECT face, COUNT(*) AS n_points FROM cells GROUP BY face ORDER BY face
-""")
-def q38(spark, sf_dir):
-    from p3_osm_transformer_spark.functions.s2z import s2z_cell
-    c = _t(spark, sf_dir, "customer")
-    lon, lat = point_cols(F.col("c_custkey"))
-    cells = c.select("c_custkey", s2z_cell(lon, lat, 12).alias("s2z"))
-    return (cells.groupBy(F.shiftright("s2z", 58).alias("face"))
-            .agg(F.count("*").alias("n_points"))
-            .orderBy("face"))
+# (the former q38_s2z_cells — per-face point counts — was UNREGISTERED in
+# round 4: q48_s2z_ids checks the same s2z pipeline value-exact per point,
+# which strictly subsumes the face rollup.  The driver gate caps at 50
+# queries; the freed slot lets q51_hexcell land in the official artifact.)
 
 
 # full packed s2z id per point — proves the whole numpy pipeline (face,
@@ -601,30 +591,11 @@ def q43(spark, sf_dir):
     return b.unionByName(u)
 
 
-# unit-norm precompute + plain-dot cosine (the write-time normalization move)
-@q("q44_unit_norm_dot", """
-WITH n AS (
-  SELECT vec_id,
-    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-      sqrt(list_aggregate(list_transform(embedding,
-           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS u
-  FROM embeddings)
-SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-  ROUND((SELECT SUM(a.u[g] * b.u[g]) FROM generate_series(1, 64) gs(g)), 4)
-    AS cos_sim
-FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 50
-""")
-def q44(spark, sf_dir):
-    from p3_osm_transformer_spark.operators.simsearch import with_unit_norm
-    e = with_unit_norm(_t(spark, sf_dir, "embeddings"))
-    a = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("unit_vec").alias("ua"))
-    b = e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 50)).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("unit_vec").alias("ub"))
-    dot = F.aggregate(F.zip_with("ua", "ub", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    return (a.crossJoin(b)
-            .select("query_id", "neighbor_id", F.round(dot, 4).alias("cos_sim")))
+# (the former q44_unit_norm_dot — with_unit_norm + zip_with dot — was
+# UNREGISTERED in round 4: the unit-norm precompute is on the hot path of
+# q31/q46/q49 (all value-checked against brute SQL twins) and pytest pins
+# its float-summation order (test_training_ops.py); the freed slot goes to
+# the end-to-end flagship contract query q52_enrich_e2e.)
 
 
 # 64-bit simhash banded near-dup pairs.  The fingerprint is md5-derived
@@ -892,3 +863,105 @@ def q51(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     lon, lat = point_cols(F.col("c_custkey"))
     return c.select("c_custkey", hex_cellid(lon, lat, 9).alias("hexid"))
+
+
+# ------------------------------------------------ q52 end-to-end flagship
+# The E1 composition (SURVEY §3) as ONE driver-checked row: caption geotag
+# (regexp) → geocell/tile encode → true-S2 + hexcell columns → kNN reverse
+# geocode (brute twin; ring proven plan-equivalent by q16/q30) → no-geo
+# union.  Every stage was already individually SQL-replayable (q17, q12,
+# q13, q50, q51, q15) — this query replays the whole enrich_images chain,
+# closing the "pieces green but composition unchecked" gap from the r3
+# verdict.  The DuckDB twin stitches the generated S2 and hexcell CTE
+# chains in via shadowed WITH-subqueries so their internal CTE names
+# cannot collide.
+from p3_osm_transformer_spark.functions.tiles import tile_id_sql  # noqa: E402
+from p3_osm_transformer_spark.operators.geotag import geotag_sql  # noqa: E402
+
+_LON_D17, _LAT_D17 = point_sql("doc_id + 17")
+_LON_SUP, _LAT_SUP = point_sql("s_suppkey * 7 + 3")
+_G_LAT, _G_LON = geotag_sql("caption")
+
+_Q52_ENR_COLS = ("image_id, caption, lat, lon, cell_r7, cell_r8, cell_r9, "
+                 "cell_r10, tile_z12, tile_z15, s2_12, hex_9, "
+                 "nearest_addr_id, nearest_dist_m")
+
+_Q52_SQL = f"""
+WITH imgs AS (
+  SELECT printf('img-%08d', doc_id) AS image_id,
+         CASE WHEN doc_id % 10 < 8
+              THEN substr(text, 1, 60) || ' @ geo:' ||
+                   printf('%.7f', {_LAT_D17}) || ',' || printf('%.7f', {_LON_D17})
+              ELSE substr(text, 1, 60) END AS caption
+  FROM documents),
+tagged AS (
+  SELECT image_id, caption, {_G_LAT} AS lat, {_G_LON} AS lon FROM imgs),
+geo AS (SELECT * FROM tagged WHERE lat IS NOT NULL),
+addrs AS (
+  SELECT s_suppkey AS addr_id, {_LON_SUP} AS alon, {_LAT_SUP} AS alat
+  FROM supplier),
+nn AS (
+  SELECT image_id, addr_id AS nearest_addr_id,
+         ROUND(dist_m, 1) AS nearest_dist_m FROM (
+    SELECT g.image_id, a.addr_id,
+           {haversine_m_sql('g.lon', 'g.lat', 'a.alon', 'a.alat')} AS dist_m,
+           ROW_NUMBER() OVER (PARTITION BY g.image_id
+               ORDER BY {haversine_m_sql('g.lon', 'g.lat', 'a.alon', 'a.alat')},
+                        a.addr_id) AS rn
+    FROM geo g CROSS JOIN addrs a) WHERE rn = 1),
+enr AS (
+  SELECT g.image_id, g.caption, g.lat, g.lon,
+         {cell_id_sql('g.lon', 'g.lat', 15)} AS cell_r7,
+         {cell_id_sql('g.lon', 'g.lat', 16)} AS cell_r8,
+         {cell_id_sql('g.lon', 'g.lat', 18)} AS cell_r9,
+         {cell_id_sql('g.lon', 'g.lat', 19)} AS cell_r10,
+         {tile_id_sql('g.lon', 'g.lat', 12)} AS tile_z12,
+         {tile_id_sql('g.lon', 'g.lat', 15)} AS tile_z15,
+         s.s2_12, h.hex_9, nn.nearest_addr_id, nn.nearest_dist_m
+  FROM geo g
+  JOIN (WITH pts AS (SELECT image_id, lon, lat FROM geo),
+        {_s2_cellid_cte(12)}
+        SELECT image_id, s2id AS s2_12 FROM s2cells) s USING (image_id)
+  JOIN (WITH pts AS (SELECT image_id AS _k0, lon, lat FROM geo),
+        {_hexcell_cte(9)}
+        SELECT _key AS image_id, hexid AS hex_9 FROM hexcells) h USING (image_id)
+  JOIN nn USING (image_id))
+SELECT {_Q52_ENR_COLS} FROM enr
+UNION ALL
+SELECT image_id, caption, CAST(NULL AS DOUBLE) AS lat,
+       CAST(NULL AS DOUBLE) AS lon, CAST(NULL AS BIGINT) AS cell_r7,
+       CAST(NULL AS BIGINT) AS cell_r8, CAST(NULL AS BIGINT) AS cell_r9,
+       CAST(NULL AS BIGINT) AS cell_r10, CAST(NULL AS BIGINT) AS tile_z12,
+       CAST(NULL AS BIGINT) AS tile_z15, CAST(NULL AS BIGINT) AS s2_12,
+       CAST(NULL AS BIGINT) AS hex_9, CAST(NULL AS BIGINT) AS nearest_addr_id,
+       CAST(NULL AS DOUBLE) AS nearest_dist_m
+FROM tagged WHERE lat IS NULL
+"""
+
+
+@q("q52_enrich_e2e", _Q52_SQL)
+def q52(spark, sf_dir):
+    from p3_osm_transformer_spark.plans.pipeline import enrich_images
+    d = _t(spark, sf_dir, "documents")
+    lon, lat = point_cols(F.col("doc_id") + 17)
+    has_geo = F.col("doc_id") % 10 < 8
+    caption = F.when(
+        has_geo,
+        F.concat(F.substring("text", 1, 60), F.lit(" @ geo:"),
+                 F.format_string("%.7f", lat), F.lit(","),
+                 F.format_string("%.7f", lon))
+    ).otherwise(F.substring("text", 1, 60))
+    images = d.select(
+        F.format_string("img-%08d", F.col("doc_id")).alias("image_id"),
+        caption.alias("caption"))
+    s = _t(spark, sf_dir, "supplier")
+    slon, slat = point_cols(F.col("s_suppkey") * 7 + 3)
+    addresses = s.select(F.col("s_suppkey").alias("addr_id"),
+                         F.col("s_name").alias("street_address"),
+                         slat.alias("lat"), slon.alias("lon"))
+    out = enrich_images(images, addresses, knn_strategy="brute",
+                        geotag="caption")
+    return out.select(
+        "image_id", "caption", "lat", "lon", "cell_r7", "cell_r8", "cell_r9",
+        "cell_r10", "tile_z12", "tile_z15", "s2_12", "hex_9",
+        "nearest_addr_id", F.round("nearest_dist_m", 1).alias("nearest_dist_m"))

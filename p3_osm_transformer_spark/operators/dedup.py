@@ -96,12 +96,22 @@ def minhash_consts(n_hashes: int) -> tuple[list[int], list[int]]:
     return A, B
 
 
+def _base_hash60(s: F.Column) -> F.Column:
+    """Portable per-shingle base hash: first 15 hex chars of md5 — a
+    60-bit int that fits a signed long, NOT reduced mod p (the mod-p
+    reduction belongs inside the universal-hash family only; set-identity
+    uses, e.g. the Jaccard ``hset``, need the full 60 bits — mod-p values
+    are 31-bit and at ~10³ shingles/doc their cross-collision odds per
+    candidate pair are ~5e-4, enough to flip pairs at a 0.7 threshold).
+    DuckDB twin: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10) \
+            .cast("long")
+
+
 def _base_hash(s: F.Column) -> F.Column:
-    """Portable per-shingle base hash: first 15 hex chars of md5 (60 bits,
-    fits a signed long) reduced mod p.  DuckDB twin:
-    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647."""
-    return (F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
-            .cast("long") % F.lit(P_MINHASH))
+    """Mod-p base hash feeding the (a·x+b) mod p minhash family.  DuckDB
+    twin: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647."""
+    return _base_hash60(s) % F.lit(P_MINHASH)
 
 
 def minhash_signature(text_col: str, n_hashes: int = 8, shingle_n: int = 3) -> list[F.Column]:
@@ -146,8 +156,9 @@ def _shingles_df(docs: DataFrame, id_col: str, text_col: str,
 
 def _exploded_hashes(docs: DataFrame, id_col: str, text_col: str,
                      shingle_n: int) -> DataFrame:
-    """(id, _b) — one row per shingle occurrence, ``_b`` = the 60-bit
-    md5-prefix base hash mod p (see ``_base_hash``).
+    """(id, _h) — one row per shingle occurrence, ``_h`` = the full
+    60-bit md5-prefix base hash (see ``_base_hash60``; the mod-p
+    reduction is applied downstream inside the minhash aggregates only).
 
     This is the whole-stage-codegen form of the minhash input: Generate
     (explode) + a codegen'd hash projection.  The r2 form computed the
@@ -162,18 +173,19 @@ def _exploded_hashes(docs: DataFrame, id_col: str, text_col: str,
     """
     sh = _shingles_df(docs, id_col, text_col, shingle_n)
     return (sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
-            .select(F.col(id_col), _base_hash(F.col("_s")).alias("_b")))
+            .select(F.col(id_col), _base_hash60(F.col("_s")).alias("_h")))
 
 
 def _min_hash_aggs(n_hashes: int) -> list[F.Column]:
-    """min((A_i·b + B_i) mod p) aggregate columns over ``_b`` — the
-    universal-hash minima as codegen'd HashAggregate expressions (long
-    arithmetic in unsafe buffers, no boxing).  Values are bit-identical
-    to the r2 interpreted accumulator: same base hash, same (A_i, B_i)
-    literals, same mod-p arithmetic — the q25 DuckDB oracle replays them
-    unchanged."""
+    """min((A_i·(h mod p) + B_i) mod p) aggregate columns over ``_h`` —
+    the universal-hash minima as codegen'd HashAggregate expressions
+    (long arithmetic in unsafe buffers, no boxing).  Values are
+    bit-identical to the r2 interpreted accumulator: same mod-p base
+    hash, same (A_i, B_i) literals, same mod-p arithmetic — the q25
+    DuckDB oracle replays them unchanged."""
     A, B = minhash_consts(n_hashes)
-    return [F.min((F.lit(A[i]) * F.col("_b") + F.lit(B[i])) % F.lit(P_MINHASH))
+    base = F.col("_h") % F.lit(P_MINHASH)
+    return [F.min((F.lit(A[i]) * base + F.lit(B[i])) % F.lit(P_MINHASH))
             .alias(f"mh_{i}") for i in range(n_hashes)]
 
 
@@ -286,26 +298,30 @@ def _doc_signatures(docs: DataFrame, id_col: str, text_col: str,
     tokenize + one md5-per-shingle pass through the codegen'd explode +
     HashAggregate pipeline (see ``_exploded_hashes``).
 
-    ``hset`` carries the 60-bit base hashes, not the shingle strings: the
-    Jaccard refine only needs set intersection/union SIZES, which are
-    preserved by any injective-enough hash — at ~10³ shingles per
-    document pair the 2^-60 collision odds are ~10^-12, and the q25
-    DuckDB oracle computes the SAME hashed sets, so even a collision
-    cannot diverge engine from oracle.  Longs instead of ~25-byte strings
-    cut the checkpoint + verify-join bytes ~3× and keep array_intersect
-    on fixed-width values (no string compares) — this table is
-    materialized once and read from three sides (band explode, verify
-    id_a side, verify id_b side)."""
+    ``hset`` carries the FULL 60-bit base hashes (``_base_hash60`` — no
+    mod-p reduction), not the shingle strings: the Jaccard refine only
+    needs set intersection/union SIZES, which are preserved by any
+    injective-enough hash — with ~10³ shingles per document pair the
+    per-pair cross-collision odds at 60 bits are ~1e-12 (at the 31-bit
+    mod-p values they would be ~5e-4, enough to flip pairs sitting at
+    the threshold — that's why the mod stays inside the minhash family
+    only).  The q25 DuckDB oracle computes the SAME 60-bit sets, so even
+    a collision cannot diverge engine from oracle.  Longs instead of
+    ~25-byte strings cut the checkpoint + verify-join bytes ~3× and keep
+    array_intersect on fixed-width values (no string compares) — this
+    table is materialized once and read from three sides (band explode,
+    verify id_a side, verify id_b side)."""
     ex = _exploded_hashes(docs, id_col, text_col, shingle_n)
     sig = ex.groupBy(id_col).agg(*_min_hash_aggs(n_hashes),
-                                 F.collect_set("_b").alias("hset"))
+                                 F.collect_set("_h").alias("hset"))
     return sig.select(F.col(id_col), F.col("hset"),
                       _band_keys(n_hashes, band_size).alias("bands"))
 
 
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                threshold: float = 0.7, n_hashes: int = 8, band_size: int = 2,
-               shingle_n: int = 3, max_bucket: int = 1000) -> DataFrame:
+               shingle_n: int = 3, max_bucket: int = 1000,
+               eager: bool = False) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify, ONE driver
     action inside (the signature checkpoint) — the candidates→verify plan
     is returned LAZY, so the caller's own materialization (noop write,
@@ -339,8 +355,9 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     and the verify's explicit repartition is the shuffle that distributes
     candidate pairs across the cluster.  Callers that act on the result
     more than once should materialize it themselves (snapshot write /
-    .cache) — the r2 terminal eager checkpoint protected that case but
-    charged every single-action caller a whole extra driver round-trip.
+    .cache, or pass ``eager=True``) — the r2 unconditional terminal
+    checkpoint protected that case but charged every single-action
+    caller a whole extra driver round-trip.
 
     The verify join repartitions pairs explicitly: AQE coalesces by BYTES,
     and 40k candidate pairs are tiny on disk but carry ~20ms of
@@ -375,9 +392,16 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("hset").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (j.withColumn("jaccard", F.round(inter / union, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    out = (j.withColumn("jaccard", F.round(inter / union, 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    if eager:
+        # escape hatch for multi-action callers: materialize once so each
+        # subsequent action reads checkpointed blocks instead of re-running
+        # the candidates→verify join (costs one extra driver round-trip —
+        # single-action callers should leave this off)
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 # ---------------------------------------------------------------- simhash

@@ -64,7 +64,12 @@ def enrich_images(images: DataFrame, addresses: DataFrame,
     # true S2 ids at level 12 and aperture-7 hexcells at res 9 ride along
     # (north star: "H3 … and S2 cell encodes" on the enriched record);
     # geocell columns cover the H3-alias resolutions 7-10, hexcell adds
-    # the true-hexagon hierarchy (functions/hexcell.py)
+    # the true-hexagon hierarchy.  NOTE on the enriched record's `hex_9`
+    # column: the ids are H3-STYLE but NOT H3-interoperable (own canonical
+    # icosahedron orientation, per-face unstitched lattices, no pentagons,
+    # ~half-resolution offset — functions/hexcell.py module docstring) —
+    # do not join them against real H3 indexes; `s2_12` IS bit-exact
+    # published-S2 and safe to join externally.
     geo = assign_tiles(geo, s2_levels=(12,), hex_resolutions=(9,))
 
     pts = geo.select(F.col("image_id").alias("point_id"), "lon", "lat")

@@ -191,3 +191,99 @@ def test_margin_assertion_guards_region_coverage():
 def test_rejects_bad_res():
     with pytest.raises(ValueError):
         H.np_hex_cellid(np.array([0.0]), np.array([0.0]), 16)
+
+
+# ----------------------------------------------------- seam-aware k-ring
+
+def test_center_reencode_identity_in_face():
+    """np_hex_center inverts the projection: re-encoding a cell's center
+    returns the cell wherever the center stays on the cell's own face
+    (cells straddling a seam may center across it — those re-encode on
+    the neighbor face by design)."""
+    lon, lat = _pts(5000, seed=13)
+    for res in (3, 6, 9):
+        ids = H.np_hex_cellid(lon, lat, res)
+        f, q, r = H.np_hex_decode(ids, res)
+        clon, clat = H.np_hex_center(f, q, r, res)
+        re = H.np_hex_cellid(clon, clat, res)
+        f2 = (re >> 49) & 0x1F
+        same_face = f2 == f
+        assert (re[same_face] == ids[same_face]).all()
+        assert same_face.mean() > 0.9
+
+
+def test_minv7_pow_is_exact_inverse():
+    for res in range(0, 12):
+        m = H._m_pow(res)
+        i = H._minv7_pow(res)
+        # M^res @ MINV7^res == 7^res · I
+        p = (m[0] * i[0] + m[1] * i[2], m[0] * i[1] + m[1] * i[3],
+             m[2] * i[0] + m[3] * i[2], m[2] * i[1] + m[3] * i[3])
+        assert p == (7 ** res, 0, 0, 7 ** res)
+
+
+def test_kring_exact_in_face():
+    """For cells whose whole disk stays on one face (the overwhelmingly
+    common case away from seams), the ring is EXACTLY the lattice k-disk:
+    3k(k+1)+1 distinct ids, all on the cell's face, self included."""
+    lon, lat = _pts(800, seed=17)
+    for res, k in ((4, 1), (6, 2), (9, 3)):
+        ids = H.np_hex_cellid(lon, lat, res)
+        f, _, _ = H.np_hex_decode(ids, res)
+        rings = H.np_hex_kring(ids, k, res)
+        n_onface = 0
+        for c, face, ring in zip(ids, f, rings):
+            assert c in set(ring)                      # self-inclusion
+            if (((np.asarray(ring) >> 49) & 0x1F) == face).all():
+                assert len(ring) == 3 * k * (k + 1) + 1
+                n_onface += 1
+        assert n_onface > len(ids) * 0.5               # seams are rare
+
+
+def test_kring_covers_neighbor_cells_across_seams():
+    """The join guarantee: a point within ~0.8 cell widths of another
+    point's position has its cell inside the first cell's 1-ring — ALSO
+    when the pair straddles an icosahedron face seam (r3 gap: rings
+    silently truncated at seams)."""
+    rng = np.random.RandomState(23)
+    n = 20000
+    lon = rng.uniform(-180, 180, n)
+    lat = np.degrees(np.arcsin(rng.uniform(-0.94, 0.94, n)))
+    for res in (4, 6):
+        ids = H.np_hex_cellid(lon, lat, res)
+        f, q, r = H.np_hex_decode(ids, res)
+        clon, clat = H.np_hex_center(f, q, r, res)
+        w = np.percentile(
+            np.hypot((lon - clon) * np.cos(np.radians(lat)), lat - clat), 99)
+        ang = rng.uniform(0, 2 * np.pi, n)
+        dd = rng.uniform(0, 0.8, n) * w
+        lon2 = lon + dd * np.cos(ang) / np.maximum(
+            np.cos(np.radians(lat)), 0.2)
+        lat2 = np.clip(lat + dd * np.sin(ang), -90, 90)
+        ids2 = H.np_hex_cellid(lon2, lat2, res)
+        rings = H.np_hex_kring(ids, 1, res)
+        missed_same, missed_cross, n_cross = 0, 0, 0
+        for c2, face, ring in zip(ids2, f, rings):
+            cross = ((c2 >> 49) & 0x1F) != face
+            n_cross += int(cross)
+            if c2 not in set(ring):
+                missed_cross += int(cross)
+                missed_same += int(not cross)
+        assert n_cross > 0                    # the sweep does hit seams
+        assert missed_same == 0
+        assert missed_cross == 0
+
+
+def test_kring_spark_udf_matches_numpy(spark):
+    df = spark.range(0, 400).select(
+        (F.col("id") * 37 % 360 - 180 + 0.25).alias("lon"),
+        (F.col("id") * 17 % 170 - 85 + 0.125).alias("lat"), "id")
+    out = (df.select("id", "lon", "lat",
+                     H.hex_cellid(F.col("lon"), F.col("lat"), 6).alias("h"))
+           .withColumn("ring", H.hex_kring(F.col("h"), 2, 6))
+           .orderBy("id").collect())
+    ids = H.np_hex_cellid(np.array([r.lon for r in out]),
+                          np.array([r.lat for r in out]), 6)
+    rings = H.np_hex_kring(ids, 2, 6)
+    for r, want in zip(out, rings):
+        assert list(r.ring) == list(want)

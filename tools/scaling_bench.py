@@ -43,7 +43,7 @@ WORKLOAD_KNOBS = {
 # The git SHA of every trial is still RECORDED (audit trail) but is not
 # part of the match key: doc-only commits between trials must not orphan
 # the accumulated minima, while a version bump here deliberately does.
-WORKLOAD_VERSION = "r3.3-allcols-agg+cellBHJ+xl8192"
+WORKLOAD_VERSION = "r4.1-dedup-corpus-parquet+60bit-hset"
 
 
 # Auxiliary workloads: same suite with one knob re-pointed so a specific
@@ -60,7 +60,17 @@ AUX_WORKLOADS = [
               "which ~3s is the fixed two-driver-action floor — the "
               "efficiency column there measures that floor, not the "
               "plan.  4× the distinct-doc corpus makes the linear "
-              "signature pass dominate.")},
+              "signature pass dominate.  (Since r4 the corpus is a "
+              "pre-materialized parquet fixture, so the stage measures "
+              "the dedup plan, not corpus synthesis.)")},
+    {"title": "ann_lsh at work-dominated scale (ANN_N=1.5M)",
+     "env": {"SPARK_GRAFT_ANN_N": "1500000"},
+     "stages": ["ann_lsh"],
+     "note": ("At the default 200k-vector corpus the stage walls 5-8s — "
+              "floor-dominated (two driver actions + Arrow spin-up), so "
+              "its per-stage efficiency there measures the scheduler.  "
+              "7.5× the corpus makes the sketch + bucket join + re-rank "
+              "the dominant work.")},
 ]
 
 
@@ -227,8 +237,11 @@ def main() -> None:
     with open(cpath, "a") as f:
         f.write(json.dumps(ctrls) + "\n")
     hist = [json.loads(line) for line in open(cpath)]
-    best = {m: {n: max(h[m][str(n)] if str(n) in h.get(m, {}) else h[m][n]
-                       for h in hist if m in h)
+    # explicit format filter: keep only lines carrying this metric at this
+    # worker count (guards against old/partial lines; JSON object keys are
+    # always strings, so only the str(n) form exists)
+    best = {m: {n: max(h[m][str(n)] for h in hist
+                       if m in h and str(n) in h[m])
                 for n in (8, 32)} for m in ("alu", "stream")}
     ctrl = best["alu"]
     ctrl_eff = (ctrl[32] / ctrl[8]) / 4
