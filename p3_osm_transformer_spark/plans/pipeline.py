@@ -38,6 +38,24 @@ def release_enrich_cache() -> None:
         _TAGGED_CACHE.pop().unpersist()
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def enrich_images_scope(images: DataFrame, addresses: DataFrame, **kw):
+    """Deterministic-release form (VERDICT r3 nit): the branch-point
+    persist is released when the block exits instead of parking on the
+    module-global until the next call.
+
+        with enrich_images_scope(images, addrs) as enriched:
+            enriched.write...   # materialize INSIDE the block
+    """
+    try:
+        yield enrich_images(images, addresses, **kw)
+    finally:
+        release_enrich_cache()
+
+
 def enrich_images(images: DataFrame, addresses: DataFrame,
                   knn_strategy: str = "ring",
                   geotag: str = "caption",

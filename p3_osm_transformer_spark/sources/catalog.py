@@ -82,12 +82,39 @@ def _t_geocell(res: int):
     return t
 
 
+def _t_s2(level: int):
+    """True-S2 layout key (functions/s2cell.py) — the north star's
+    's2_12'-family cell id as a hidden partition column.  Arrow-batched
+    pandas UDF: one Python exchange at WRITE time only; readers prune on
+    the directory values without ever evaluating it."""
+    def t(cols: list[str]) -> Column:
+        from p3_osm_transformer_spark.functions.s2cell import s2_cellid
+        lat, lon = cols
+        return s2_cellid(F.col(lon), F.col(lat), level)
+    return t
+
+
+def _t_hexcell(res: int):
+    """Aperture-7 hexcell layout key (functions/hexcell.py, 'hex_9'
+    family).  Same write-time-only cost note as _t_s2; ids are NOT
+    H3-interoperable (hexcell.py module docstring)."""
+    def t(cols: list[str]) -> Column:
+        from p3_osm_transformer_spark.functions.hexcell import hex_cellid
+        lat, lon = cols
+        return hex_cellid(F.col(lon), F.col(lat), res)
+    return t
+
+
 def resolve_transform(name: str):
-    """'identity' | 'truncate[W]' | 'bucket[N]' | 'geocell[R]' → fn."""
+    """'identity' | 'truncate[W]' | 'bucket[N]' | 'geocell[R]' | 's2[L]' |
+    'hexcell[R]' → fn.  bbox pruning (read(..., bbox=...)) is closed-form
+    for geocell only; s2/hexcell layouts prune via where_eq (exact literal
+    evaluation) like bucket transforms."""
     if name == "identity":
         return _t_identity
     for prefix, fac in (("truncate", _t_truncate), ("bucket", _t_bucket),
-                        ("geocell", _t_geocell)):
+                        ("geocell", _t_geocell), ("s2", _t_s2),
+                        ("hexcell", _t_hexcell)):
         if name.startswith(prefix + "[") and name.endswith("]"):
             return fac(int(name[len(prefix) + 1:-1]))
     raise ValueError(f"unknown partition transform {name!r}")
@@ -138,6 +165,127 @@ class Catalog:
                 return json.load(f)
         except FileNotFoundError:
             return {}
+
+    # ------------------------------------------------- schema evolution
+    # Iceberg's schema evolution is FIELD-ID based: every column gets a
+    # stable integer id at first appearance; renames and drops are
+    # metadata-only edits to the table's current schema (no data rewrite),
+    # and every snapshot records which (name → id) mapping its files were
+    # written under.  Reads project each snapshot's physical columns to
+    # the current names by id, fill columns added since the snapshot with
+    # typed NULLs, and hide columns dropped since — so the logical-table
+    # union (live_snapshots / full_table / resume) keeps working across
+    # schema changes.  Reference twin: the Jena store's schema-less graph
+    # growth (JenaTextConfig.java:142-159) — new predicates simply appear;
+    # here they appear as NULL-backed columns on old snapshots.
+
+    def _schema_file(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_schema_current.json")
+
+    def _load_schema_state(self, table: str) -> tuple[dict, int]:
+        """(fields, next_id).  next_id is a persisted HIGH-WATER mark:
+        dropping a field retires its id forever — deriving next_id from
+        max(current ids) would re-allocate the retired id to the next new
+        column and silently resurrect dropped data from old snapshots."""
+        try:
+            with open(self._schema_file(table)) as f:
+                raw = json.load(f)
+        except FileNotFoundError:
+            return {}, 1
+        fields = raw.get("fields", raw if "next_id" not in raw else {})
+        next_id = raw.get("next_id",
+                          max((int(i) for i in fields), default=0) + 1)
+        return fields, next_id
+
+    def _save_schema_state(self, table: str, fields: dict,
+                           next_id: int) -> None:
+        with open(self._schema_file(table), "w") as f:
+            json.dump({"fields": fields, "next_id": next_id}, f)
+
+    def current_schema(self, table: str) -> dict:
+        """{field_id(str): {"name", "type"}} — the table's CURRENT schema
+        (empty for tables written before schema tracking)."""
+        return self._load_schema_state(table)[0]
+
+    def schema_of(self, table: str, snap: int) -> dict:
+        """{column_name: {"id", "type"}} as written in that snapshot."""
+        try:
+            with open(os.path.join(self._snapdir(table, snap),
+                                   "_schema.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _record_schema(self, df: DataFrame, table: str, snap: int) -> None:
+        current, next_id = self._load_schema_state(table)
+        by_name = {d["name"]: int(i) for i, d in current.items()}
+        snap_schema = {}
+        for fld in df.schema.fields:
+            if fld.name.startswith("_p_"):
+                continue           # hidden layout columns are not schema
+            if fld.name in by_name:
+                fid = by_name[fld.name]
+            else:
+                fid = next_id      # first appearance → new stable id
+                next_id += 1
+            current[str(fid)] = {"name": fld.name,
+                                 "type": fld.dataType.simpleString()}
+            snap_schema[fld.name] = {"id": fid,
+                                     "type": fld.dataType.simpleString()}
+        with open(os.path.join(self._snapdir(table, snap),
+                               "_schema.json"), "w") as f:
+            json.dump(snap_schema, f)
+        self._save_schema_state(table, current, next_id)
+
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """Metadata-only rename (Iceberg semantics): the field id keeps,
+        no file is rewritten; every snapshot — past and future — now
+        presents the column as ``new``."""
+        current, next_id = self._load_schema_state(table)
+        for d in current.values():
+            if d["name"] == old:
+                d["name"] = new
+                self._save_schema_state(table, current, next_id)
+                return
+        raise KeyError(f"column {old!r} not in current schema of {table!r}")
+
+    def drop_column(self, table: str, name: str) -> None:
+        """Metadata-only drop: the column disappears from every read; the
+        field id is retired FOREVER (next_id high-water mark — a later add
+        of the same NAME is a NEW field and does not resurrect old data,
+        Iceberg's drop/re-add rule)."""
+        current, next_id = self._load_schema_state(table)
+        fid = next((i for i, d in current.items() if d["name"] == name), None)
+        if fid is None:
+            raise KeyError(f"column {name!r} not in current schema of {table!r}")
+        del current[fid]
+        self._save_schema_state(table, current, next_id)
+
+    def _project_to_current(self, df: DataFrame, table: str,
+                            snap: int) -> DataFrame:
+        """Project a snapshot's physical columns to the current schema:
+        rename by field id, hide dropped fields, NULL-fill added ones."""
+        snap_schema = self.schema_of(table, snap)
+        current = self.current_schema(table)
+        if not snap_schema or not current:
+            return df               # legacy snapshot: physical schema as-is
+        cur_by_id = {int(i): d for i, d in current.items()}
+        cols, seen = [], set()
+        for c in df.columns:
+            ent = snap_schema.get(c)
+            if ent is None:
+                cols.append(F.col(c))        # untracked (defensive)
+                continue
+            cur = cur_by_id.get(int(ent["id"]))
+            if cur is None:
+                continue                      # dropped since this snapshot
+            seen.add(int(ent["id"]))
+            cols.append(F.col(c).alias(cur["name"]))
+        for fid in sorted(cur_by_id):
+            if fid not in seen:               # added since this snapshot
+                d = cur_by_id[fid]
+                cols.append(F.lit(None).cast(d["type"]).alias(d["name"]))
+        return df.select(*cols)
 
     # ------------------------------------------------------------- write
     def write_snapshot(self, df: DataFrame, table: str,
@@ -208,6 +356,10 @@ class Catalog:
             for r in stats}
         with open(os.path.join(path, "_manifest.json"), "w") as f:
             json.dump(manifest, f, default=str)
+        # field-id schema tracking (must precede the commit so a crash
+        # between the two never leaves a committed snapshot without its
+        # schema record)
+        self._record_schema(df, table, snap)
         tmp = self._latest_file(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(snap))
@@ -219,8 +371,16 @@ class Catalog:
              snapshot: int | None = None, *,
              where_eq: dict | None = None,
              bbox: dict | None = None,
-             stats_range: dict | None = None) -> DataFrame:
+             stats_range: dict | None = None,
+             use_snapshot_schema: bool = False) -> DataFrame:
         """Read a snapshot, hiding derived partition columns.
+
+        Schema evolution: by default the result presents the table's
+        CURRENT schema (field-id renames applied, dropped fields hidden,
+        added fields NULL-filled) so snapshot unions and resume keep
+        working across schema changes; ``use_snapshot_schema=True``
+        time-travels the SCHEMA too — physical column names exactly as
+        the snapshot wrote them.
 
         Pruning surfaces (all expressed on SOURCE columns — the reader
         never names a ``_p_*`` column):
@@ -306,7 +466,11 @@ class Catalog:
         else:
             df = spark.read.parquet(snapdir)
         hidden = [c for c in df.columns if c.startswith("_p_")]
-        return df.drop(*hidden) if hidden else df
+        if hidden:
+            df = df.drop(*hidden)
+        if not use_snapshot_schema:
+            df = self._project_to_current(df, table, snap)
+        return df
 
     def exists(self, table: str) -> bool:
         return self.latest_snapshot(table) is not None

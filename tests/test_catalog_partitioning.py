@@ -188,3 +188,104 @@ def test_vacuum_compact_expire_lifecycle(spark, tmp_path):
     assert cat.snapshots("t") == [3, 4]
     assert full_table(spark, cat, "t").count() == 160          # still intact
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+# ------------------------------------------------- schema evolution (r4)
+
+def test_add_column_null_fills_old_snapshots(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")), "t")
+    cat.write_snapshot(spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("x").alias("tag")), "t")
+    # old snapshot presents the CURRENT schema: tag exists, NULL, typed
+    s1 = cat.read(spark, "t", 1)
+    assert set(s1.columns) == {"k", "v", "tag"}
+    assert dict(s1.dtypes)["tag"] == "string"
+    assert all(r.tag is None for r in s1.collect())
+    # logical-table union across the schema change just works
+    both = s1.unionByName(cat.read(spark, "t", 2))
+    assert both.count() == 8
+    assert both.filter(F.col("tag").isNotNull()).count() == 3
+
+
+def test_rename_is_metadata_only_and_reaches_every_snapshot(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") + 10).alias("v")), "t")
+    cat.rename_column("t", "v", "value")
+    # past snapshot reads under the new name, data intact, files untouched
+    s1 = cat.read(spark, "t", 1)
+    assert set(s1.columns) == {"k", "value"}
+    assert sorted(r.value for r in s1.collect()) == [10, 11, 12, 13]
+    # a future write using the new name REUSES the field id (no new field)
+    cat.write_snapshot(spark.range(4, 6).select(
+        F.col("id").alias("k"), (F.col("id") + 10).alias("value")), "t")
+    id_v = cat.schema_of("t", 1)["v"]["id"]
+    id_value = cat.schema_of("t", 2)["value"]["id"]
+    assert id_v == id_value
+    # time-travel of the SCHEMA too: physical names as written
+    assert set(cat.read(spark, "t", 1,
+                        use_snapshot_schema=True).columns) == {"k", "v"}
+
+
+def test_drop_column_hides_without_rewrite(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(spark.range(3).select(
+        F.col("id").alias("k"), F.lit("secret").alias("s")), "t")
+    cat.drop_column("t", "s")
+    assert set(cat.read(spark, "t", 1).columns) == {"k"}
+    # re-adding the same NAME is a NEW field — old data does not resurrect
+    cat.write_snapshot(spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("fresh").alias("s")), "t")
+    s1 = cat.read(spark, "t", 1)
+    assert set(s1.columns) == {"k", "s"}
+    assert all(r.s is None for r in s1.collect())          # NULL, not 'secret'
+    assert {r.s for r in cat.read(spark, "t", 2).collect()} == {"fresh"}
+
+
+def test_schema_evolution_resume_unaffected(spark, tmp_path):
+    """The resume anti-join keys on a stable column across BOTH an
+    add-column and a rename (U1 twin: the Jena store grows schema-lessly;
+    resume state survives schema changes)."""
+    from p3_osm_transformer_spark.streaming.resume import (
+        full_table, resume_run)
+    cat = Catalog(str(tmp_path))
+    run1_in = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    resume_run(spark, cat, "t", run1_in, "k", lambda d: d)
+    # run 2: schema evolved — transform emits an extra column AND the
+    # value column was renamed between runs
+    cat.rename_column("t", "v", "value")
+    run2_in = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("value"),
+        F.lit("new").alias("tag"))
+    m = resume_run(spark, cat, "t", run2_in, "k", lambda d: d)
+    assert m["resumed"] and m["rows_in"] == 4 and m["rows_out"] == 4
+    logical = full_table(spark, cat, "t")
+    assert set(logical.columns) == {"k", "value", "tag"}
+    rows = {r.k: (r.value, r.tag) for r in logical.collect()}
+    assert len(rows) == 10
+    assert rows[2] == (14, None) and rows[8] == (56, "new")
+
+
+def test_s2_and_hexcell_partition_transforms(spark, tmp_path):
+    """The north star's cell families as Iceberg-style layout keys: write
+    partitioned by s2[4] / hexcell[3], prune via where_eq on SOURCE
+    lat/lon (exact literal evaluation), never naming a _p_ column."""
+    cat = Catalog(str(tmp_path))
+    df = _pts(spark)
+    for tname, table in (("s2[4]", "pts_s2"), ("hexcell[3]", "pts_hex")):
+        spec = {"cell": {"transform": tname, "source": ["lat", "lon"]}}
+        cat.write_snapshot(df, table, partition_spec=spec)
+        full = cat.read(spark, table)
+        assert "_p_cell" not in full.columns and full.count() == 400
+        # (lat, lon) = (-55, 20): the id%16==9 stripe of the fixture grid
+        pruned = cat.read(spark, table, where_eq={"cell": (-55.0, 20.0)})
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        want = {r.pid for r in full.collect()
+                if (r.lat, r.lon) == (-55.0, 20.0)}
+        got = {r.pid for r in pruned.filter(
+            (F.col("lat") == -55.0) & (F.col("lon") == 20.0)).collect()}
+        assert want and want == got

@@ -199,3 +199,71 @@ def test_knn_ring_zero_rounds_falls_back_to_brute(spark):
     brute = {(r["point_id"], r["addr_id"], r["knn_rank"])
              for r in knn.knn_bruteforce(pts, addrs, k=2).collect()}
     assert ring == brute and len(brute) == 20
+
+
+# ------------------------------------------------ hexcell kNN access path
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_knn_hex_equals_bruteforce(spark, k):
+    """knn_hex's resolve-margin rule is sound: output == brute force on a
+    mixed-density corpus (dense fixture nodes resolve via the hex probe;
+    sparse stragglers take the brute tail)."""
+    addrs = fx.osm_nodes(spark, 1200).filter("id > 0") \
+        .selectExpr("concat('a-', id) as addr_id", "lon", "lat")
+    pts = fx.osm_nodes(spark, 2400).filter("id > 0 and id % 9 = 0") \
+        .selectExpr("id as point_id", "lon + 0.001 as lon", "lat - 0.001 as lat")
+    hexed = {(r["point_id"], r["addr_id"], r["knn_rank"])
+             for r in knn.knn_hex(pts, addrs, k=k, res=9).collect()}
+    brute = {(r["point_id"], r["addr_id"], r["knn_rank"])
+             for r in knn.knn_bruteforce(pts, addrs, k=k).collect()}
+    assert hexed == brute
+    assert len(brute) > 0
+
+
+def test_knn_hex_exact_across_face_seams(spark):
+    """Global scatter guarantees points near icosahedron face seams (the
+    r3 gap: rings truncated there); the seam-aware ring + margin rule must
+    still reproduce brute force exactly."""
+    addrs = spark.createDataFrame(
+        [(f"a-{i}", -180 + (i * 37 % 360) * 1.0, -84.0 + (i * 13 % 1680) / 10.0)
+         for i in range(600)], "addr_id string, lon double, lat double")
+    pts = spark.createDataFrame(
+        [(i, -180 + (i * 53 % 360) + 0.4321, -83.0 + (i * 7 % 1660) / 10.0)
+         for i in range(150)], "point_id long, lon double, lat double")
+    hexed = {(r["point_id"], r["addr_id"])
+             for r in knn.knn_hex(pts, addrs, k=1, res=4).collect()}
+    brute = {(r["point_id"], r["addr_id"])
+             for r in knn.knn_bruteforce(pts, addrs, k=1).collect()}
+    assert hexed == brute
+
+
+def test_hex_ring_candidates_cover_near_addresses(spark):
+    """Completeness contract of the probe join: every address within
+    ~0.8 cell widths of a point appears among its candidates."""
+    from p3_osm_transformer_spark.functions import hexcell as H
+    import numpy as np
+    rng = np.random.RandomState(5)
+    n = 300
+    plon = rng.uniform(-180, 180, n)
+    plat = np.degrees(np.arcsin(rng.uniform(-0.95, 0.95, n)))
+    res = 5
+    cells = H.np_hex_cellid(plon, plat, res)
+    f, q, r = H.np_hex_decode(cells, res)
+    clon, clat = H.np_hex_center(f, q, r, res)
+    w = np.percentile(np.hypot((plon - clon) * np.cos(np.radians(plat)),
+                               plat - clat), 99)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    dd = rng.uniform(0, 0.8, n) * w
+    alon = plon + dd * np.cos(ang) / np.maximum(np.cos(np.radians(plat)), 0.2)
+    alat = np.clip(plat + dd * np.sin(ang), -90, 90)
+    pts = spark.createDataFrame(
+        [(int(i), float(plon[i]), float(plat[i])) for i in range(n)],
+        "point_id long, lon double, lat double")
+    addrs = spark.createDataFrame(
+        [(f"a-{i}", float(alon[i]), float(alat[i])) for i in range(n)],
+        "addr_id string, lon double, lat double")
+    cand = {(r["point_id"], r["addr_id"])
+            for r in knn.hex_ring_candidates(pts, addrs, k=1, res=res)
+            .select("point_id", "addr_id").collect()}
+    missing = [(i, f"a-{i}") for i in range(n) if (i, f"a-{i}") not in cand]
+    assert missing == []

@@ -290,3 +290,9 @@ def test_enrich_cache_bounded_and_releasable(spark):
     assert not cm.isEmpty()          # the current call's cache is live
     release_enrich_cache()
     assert cm.isEmpty()              # and exactly that one was held
+    # context-manager form: released at block exit, no module-global left
+    from p3_osm_transformer_spark.plans.pipeline import enrich_images_scope
+    with enrich_images_scope(imgs, addrs, knn_strategy="brute") as df:
+        assert df.count() > 0
+        assert not cm.isEmpty()
+    assert cm.isEmpty()

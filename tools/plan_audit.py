@@ -209,6 +209,18 @@ def main() -> None:
           must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
                     "BatchEvalPython", "MapInPandas"])
 
+    # 10. hexcell probe join (r4): seam-aware hex_kring explode + long-key
+    # equi-join.  Python appears ONLY in the two cell encodes
+    # (ArrowEvalPython pandas_udf nodes — one per side); the ring explode,
+    # the join and the distance projection are codegen.  Never a
+    # cartesian/BNLJ, never row-at-a-time Python.
+    from p3_osm_transformer_spark.operators.knn import hex_ring_candidates
+    audit("hex ring candidates (seam-aware probe join)",
+          hex_ring_candidates(kpts, kaddrs, k=1, res=5),
+          must=["Generate", "ArrowEvalPython"],
+          must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython"])
+
     # write PLANS.md digest
     out = ["# PLANS.md — audited physical plans",
            "",
