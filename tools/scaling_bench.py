@@ -82,6 +82,31 @@ def _workload_key(overrides: dict | None = None) -> dict:
     return key
 
 
+# Which knobs define each STAGE's workload.  A trial taken under an aux
+# override (e.g. DEDUP_EXTRA=400k) still ran the IDENTICAL headline /
+# knn / ann stages as a base trial, so its minima are admissible evidence
+# for those stages — matching the full knob dict would discard half the
+# data every aux pass produces.  BENCH_REPEATS is a measurement knob
+# (best-of width), not a workload definition, so it is not part of any
+# stage key (it is still recorded per trial for the audit trail).
+STAGE_KNOBS = {
+    "spatial_enrich_xl": ("SPARK_GRAFT_XL_MULT",),
+    "spatial_enrich": (),
+    "knn_ring": ("SPARK_GRAFT_KNN_MULT",),
+    "tile_agg": (),
+    "group_agg": (),
+    "geocode": (),
+    "image_blocks": (),
+    "dedup_near": ("SPARK_GRAFT_DEDUP_MULT", "SPARK_GRAFT_DEDUP_EXTRA"),
+    "ann_lsh": ("SPARK_GRAFT_ANN_N",),
+}
+
+
+def _stage_matches(stage: str, trial_wl: dict, want: dict) -> bool:
+    knobs = STAGE_KNOBS.get(stage, tuple(WORKLOAD_KNOBS))
+    return all(trial_wl.get(k) == want.get(k) for k in knobs)
+
+
 def _base_key() -> dict:
     """The module-default workload key (env overrides IGNORED) — the
     report's main table always reads this, so an aux-workload invocation
@@ -151,36 +176,50 @@ def _record_trial(r: dict) -> dict:
     return r
 
 
-def _load_trials(sf_dir: str, want: dict | None = None) -> dict[int, list[dict]]:
-    """All recorded trials matching this input configuration (sf dir +
-    every workload knob + workload version), by level."""
-    want = want if want is not None else _workload_key()
+def _load_trials(sf_dir: str) -> dict[int, list[dict]]:
+    """All recorded trials for this sf dir at the CURRENT workload
+    version, by level — per-stage knob matching happens in
+    _stage_minima, so aux-override trials contribute their unchanged
+    stages to the base table and vice versa."""
     out: dict[int, list[dict]] = {}
     try:
         with open(_trials_path()) as f:
             for line in f:
                 r = json.loads(line)
-                if r.get("sf") == sf_dir and r.get("workload") == want:
+                wl = r.get("workload")
+                if (r.get("sf") == sf_dir and isinstance(wl, dict)
+                        and wl.get("workload_version") == WORKLOAD_VERSION):
                     out.setdefault(int(r["cpus"]), []).append(r)
     except FileNotFoundError:
         pass
     return out
 
 
-def _stage_minima(trials_by_level: dict[int, list[dict]]) -> dict[int, dict]:
-    """Per-stage minimum + best headline throughput per level."""
+def _stage_minima(trials_by_level: dict[int, list[dict]],
+                  want: dict) -> dict[int, dict]:
+    """Per-stage minimum + best headline throughput per level, taking
+    each stage's minimum over the trials whose STAGE-RELEVANT knobs
+    match ``want`` (see STAGE_KNOBS)."""
     out: dict[int, dict] = {}
     for cpus, runs in trials_by_level.items():
-        if not runs:
+        queries: dict[str, float] = {}
+        stages = {k for r in runs for k in r["queries"]}
+        for st in sorted(stages):
+            vals = [r["queries"][st] for r in runs
+                    if st in r["queries"]
+                    and _stage_matches(st, r.get("workload", {}), want)]
+            if vals:
+                queries[st] = min(vals)
+        head = [r["spatial_rows_per_sec"] for r in runs
+                if _stage_matches("spatial_enrich_xl",
+                                  r.get("workload", {}), want)]
+        if not queries or not head:
             continue
         best = dict(runs[0])
-        best["queries"] = {k: min(r["queries"][k] for r in runs
-                                  if k in r["queries"])
-                           for k in runs[0]["queries"]}
-        best["value"] = round(sum(best["queries"].values()), 3)
-        best["spatial_rows_per_sec"] = max(r["spatial_rows_per_sec"]
-                                           for r in runs)
-        best["n_trials"] = len(runs)
+        best["queries"] = queries
+        best["value"] = round(sum(queries.values()), 3)
+        best["spatial_rows_per_sec"] = max(head)
+        best["n_trials"] = len(head)
         out[cpus] = best
     return out
 
@@ -267,7 +306,7 @@ def main() -> None:
     # history) = the capability number on a noisy box.  The main table
     # always reads the base key, so an aux-workload invocation
     # regenerates the identical headline evidence.
-    results = _stage_minima(_load_trials(sf_dir, _base_key()))
+    results = _stage_minima(_load_trials(sf_dir), _base_key())
     for cpus in sorted(results):
         print(f"best local[{cpus}]: {json.dumps(results[cpus])}")
     levels = [n for n in sorted(results)]
@@ -362,7 +401,7 @@ def main() -> None:
     # aux workloads: one knob re-pointed so a specific stage is
     # work-dominated enough to measure (see AUX_WORKLOADS)
     for aux in AUX_WORKLOADS:
-        at = _stage_minima(_load_trials(sf_dir, _workload_key(aux["env"])))
+        at = _stage_minima(_load_trials(sf_dir), {**_base_key(), **aux["env"]})
         if 8 not in at or 32 not in at:
             continue
         lines += [f"## {aux['title']}", "", aux["note"], "",
