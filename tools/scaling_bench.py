@@ -89,6 +89,22 @@ def _workload_key(overrides: dict | None = None) -> dict:
 # data every aux pass produces.  BENCH_REPEATS is a measurement knob
 # (best-of width), not a workload definition, so it is not part of any
 # stage key (it is still recorded per trial for the audit trail).
+#
+# Stage identity is also PER-STAGE across workload versions: the r3.3 →
+# r4.1 bump changed ONLY dedup_near (pre-materialized corpus fixture +
+# 60-bit hset) plus measurement methodology (bench.py self-affinity,
+# equivalent to the taskset every scaling trial already ran under) —
+# verified by `git diff 497bde3..` over bench.py's stage bodies and every
+# engine module the other stages call (pip/knn/simsearch/geocell/tiles/
+# geocode/tile_assign: zero changes; knn.py append-only).  r3.3 trials
+# therefore remain admissible evidence for every stage EXCEPT dedup_near.
+# r3.2 and unversioned trials are excluded everywhere (the headline's
+# aggregate changed at r3.2→r3.3).
+_PREV_COMPATIBLE = "r3.3-allcols-agg+cellBHJ+xl8192"
+DEFAULT_ACCEPT = frozenset({WORKLOAD_VERSION, _PREV_COMPATIBLE})
+STAGE_ACCEPT = {
+    "dedup_near": frozenset({WORKLOAD_VERSION}),
+}
 STAGE_KNOBS = {
     "spatial_enrich_xl": ("SPARK_GRAFT_XL_MULT",),
     "spatial_enrich": (),
@@ -103,6 +119,9 @@ STAGE_KNOBS = {
 
 
 def _stage_matches(stage: str, trial_wl: dict, want: dict) -> bool:
+    if trial_wl.get("workload_version") not in STAGE_ACCEPT.get(
+            stage, DEFAULT_ACCEPT):
+        return False
     knobs = STAGE_KNOBS.get(stage, tuple(WORKLOAD_KNOBS))
     return all(trial_wl.get(k) == want.get(k) for k in knobs)
 
@@ -181,6 +200,7 @@ def _load_trials(sf_dir: str) -> dict[int, list[dict]]:
     version, by level — per-stage knob matching happens in
     _stage_minima, so aux-override trials contribute their unchanged
     stages to the base table and vice versa."""
+    admissible = DEFAULT_ACCEPT.union(*STAGE_ACCEPT.values())
     out: dict[int, list[dict]] = {}
     try:
         with open(_trials_path()) as f:
@@ -188,7 +208,7 @@ def _load_trials(sf_dir: str) -> dict[int, list[dict]]:
                 r = json.loads(line)
                 wl = r.get("workload")
                 if (r.get("sf") == sf_dir and isinstance(wl, dict)
-                        and wl.get("workload_version") == WORKLOAD_VERSION):
+                        and wl.get("workload_version") in admissible):
                     out.setdefault(int(r["cpus"]), []).append(r)
     except FileNotFoundError:
         pass
