@@ -290,13 +290,107 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame,
     return out
 
 
+def _doc_signatures_arrow(docs: DataFrame, id_col: str, text_col: str,
+                          n_hashes: int, shingle_n: int) -> DataFrame:
+    """(id, mh_0..mh_{n-1}, hset) via ONE Arrow ``mapInPandas`` pass —
+    bit-identical values to the Catalyst construction (same word
+    shingles, same 15-hex-char md5-prefix 60-bit base hashes, same
+    (A·x+B) mod p universal-hash minima; property-tested equal), chosen
+    for the signature pass because the measured problem is JVM
+    allocation, not arithmetic:
+
+    Catalyst form, profiled at DEDUP_EXTRA=400k (420k docs, ~17M
+    shingles; tools/dedup_profile.py, whole-host /proc/stat busy time):
+    wall 11.5s / 82 CPU-s at 8 pinned cores vs wall 12.0s / 318 CPU-s at
+    32 — the same work burns 4× the CPU with ZERO wall gain, i.e. the
+    stage saturates the host's memory system at 8 cores and extra cores
+    only divide the bandwidth (below even the 0.60 stream-control
+    ceiling, because the interpreted higher-order shingle lambdas box
+    every long and build 5-7 transient objects per shingle: slice array,
+    concat string, binary cast, md5 hex string, substring, conv decimal
+    string).  The Arrow pass computes the same 17M md5s in worker
+    PROCESSES with refcounted small-object churn and batch-vectorized
+    numpy minima (np.minimum.reduceat over a flat per-batch hash
+    array) — ~8× less allocation traffic, and per-process heaps scale
+    with cores instead of contending on one shared GC.
+
+    Tokenization parity note: Python ``str.lower``/ASCII regex split
+    match Spark's lower/split for the a-z0-9 token alphabet; both twins
+    (Catalyst + DuckDB oracle) use the same rule.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    A, B = minhash_consts(n_hashes)
+    a_arr = np.array(A, dtype=np.uint64)[:, None]
+    b_arr = np.array(B, dtype=np.uint64)[:, None]
+    p = np.uint64(P_MINHASH)
+
+    schema = T.StructType(
+        [T.StructField(id_col, docs.schema[id_col].dataType)]
+        + [T.StructField(f"mh_{i}", T.LongType()) for i in range(n_hashes)]
+        + [T.StructField("hset", T.ArrayType(T.LongType()))])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+        tok_re = re.compile(r"[^a-z0-9]+")
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, offs, flat = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    # Catalyst twin: concat_ws over the null token array
+                    # yields "" → the doc keeps one empty-string shingle
+                    text = ""
+                toks = [t for t in tok_re.split(text.lower()) if t]
+                if len(toks) >= shingle_n:
+                    sh = [" ".join(toks[i:i + shingle_n])
+                          for i in range(len(toks) - shingle_n + 1)]
+                else:
+                    # <n tokens → ONE whole-text shingle ("" for empty),
+                    # same fallback as shingles_of
+                    sh = [" ".join(toks)]
+                ids.append(did)
+                offs.append(len(flat))
+                # 60-bit base hash = first 15 hex chars of md5 = top 60
+                # bits of the first 8 digest bytes (same value as
+                # _base_hash60's conv(substring(md5,1,15),16,10))
+                flat.extend(
+                    int.from_bytes(md5(s.encode()).digest()[:8], "big") >> 4
+                    for s in sh)
+            if not ids:
+                continue
+            hs = np.array(flat, dtype=np.uint64)
+            sig = (a_arr * (hs % p)[None, :] + b_arr) % p
+            mins = np.minimum.reduceat(sig, np.array(offs, dtype=np.int64),
+                                       axis=1)
+            ends = offs[1:] + [len(flat)]
+            out = {id_col: ids}
+            for i in range(n_hashes):
+                out[f"mh_{i}"] = mins[i].astype(np.int64)
+            out["hset"] = [np.unique(hs[s:e]).astype(np.int64)
+                           for s, e in zip(offs, ends)]
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def _doc_signatures(docs: DataFrame, id_col: str, text_col: str,
                     n_hashes: int, band_size: int,
-                    shingle_n: int) -> DataFrame:
+                    shingle_n: int, impl: str = "arrow") -> DataFrame:
     """(id, hset:array<long>, bands:array<string>) — the distinct
     shingle-HASH set AND the LSH band keys of every document, one
-    tokenize + one md5-per-shingle pass through the codegen'd explode +
-    HashAggregate pipeline (see ``_exploded_hashes``).
+    tokenize + one md5-per-shingle pass.
+
+    ``impl="arrow"`` (default, the scale path) computes the pass in one
+    Arrow ``mapInPandas`` stage (``_doc_signatures_arrow`` — measured 4×
+    CPU inflation at 32 cores in the JVM form; values bit-identical).
+    ``impl="catalyst"`` keeps the pure-DataFrame construction below — the
+    SQL-replayable spec form and the parity-test twin.
 
     ``hset`` carries the FULL 60-bit base hashes (``_base_hash60`` — no
     mod-p reduction), not the shingle strings: the Jaccard refine only
@@ -311,9 +405,13 @@ def _doc_signatures(docs: DataFrame, id_col: str, text_col: str,
     array_intersect on fixed-width values (no string compares) — this
     table is materialized once and read from three sides (band explode,
     verify id_a side, verify id_b side)."""
-    ex = _exploded_hashes(docs, id_col, text_col, shingle_n)
-    sig = ex.groupBy(id_col).agg(*_min_hash_aggs(n_hashes),
-                                 F.collect_set("_h").alias("hset"))
+    if impl == "arrow":
+        sig = _doc_signatures_arrow(docs, id_col, text_col, n_hashes,
+                                    shingle_n)
+    else:
+        ex = _exploded_hashes(docs, id_col, text_col, shingle_n)
+        sig = ex.groupBy(id_col).agg(*_min_hash_aggs(n_hashes),
+                                     F.collect_set("_h").alias("hset"))
     return sig.select(F.col(id_col), F.col("hset"),
                       _band_keys(n_hashes, band_size).alias("bands"))
 
@@ -321,7 +419,7 @@ def _doc_signatures(docs: DataFrame, id_col: str, text_col: str,
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                threshold: float = 0.7, n_hashes: int = 8, band_size: int = 2,
                shingle_n: int = 3, max_bucket: int = 1000,
-               eager: bool = False) -> DataFrame:
+               eager: bool = False, signatures: str = "arrow") -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify, ONE driver
     action inside (the signature checkpoint) — the candidates→verify plan
     is returned LAZY, so the caller's own materialization (noop write,
@@ -368,8 +466,13 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     spark = docs.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # signatures="arrow" (default): the measured scale path — the JVM
+    # construction burns 4× the CPU at 32 cores for the same values
+    # (_doc_signatures_arrow docstring); "catalyst" keeps the pure-
+    # DataFrame spec form (parity-tested equal)
     sig = _doc_signatures(docs, id_col, text_col, n_hashes, band_size,
-                          shingle_n).localCheckpoint(eager=True)
+                          shingle_n, impl=signatures) \
+        .localCheckpoint(eager=True)
 
     bands = sig.select(id_col, F.posexplode("bands")
                        .alias("band_idx", "band_key"))

@@ -22,8 +22,16 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# One id per invocation: every trial AND the control measurement taken in
+# the same invocation share it, so the report can normalize each window's
+# headline efficiency by the SAME window's host ceiling (the gate argument
+# that doesn't depend on ever catching a perfectly quiet window — r4
+# verdict #4).  Wall-clock ms is unique enough across invocations.
+WINDOW_ID = f"w{int(time.time() * 1000)}"
 
 
 WORKLOAD_KNOBS = {
@@ -43,7 +51,7 @@ WORKLOAD_KNOBS = {
 # The git SHA of every trial is still RECORDED (audit trail) but is not
 # part of the match key: doc-only commits between trials must not orphan
 # the accumulated minima, while a version bump here deliberately does.
-WORKLOAD_VERSION = "r4.1-dedup-corpus-parquet+60bit-hset"
+WORKLOAD_VERSION = "r5.1-arrow-signatures"
 
 
 # Auxiliary workloads: same suite with one knob re-pointed so a specific
@@ -53,15 +61,17 @@ WORKLOAD_VERSION = "r4.1-dedup-corpus-parquet+60bit-hset"
 #   SPARK_GRAFT_DEDUP_EXTRA=400000 SPARK_GRAFT_SCALING_LEVELS=8,32 \
 #   SPARK_GRAFT_SCALING_TRIALS=1 python tools/scaling_bench.py
 AUX_WORKLOADS = [
-    {"title": "dedup_near at work-dominated scale (DEDUP_EXTRA=400k)",
-     "env": {"SPARK_GRAFT_DEDUP_EXTRA": "400000"},
+    {"title": "dedup_near at work-dominated scale (DEDUP_EXTRA=1.2M)",
+     "env": {"SPARK_GRAFT_DEDUP_EXTRA": "1200000"},
      "stages": ["dedup_near"],
-     "note": ("At the default 100k-doc corpus the stage walls 7-13s, of "
-              "which ~3s is the fixed two-driver-action floor — the "
+     "note": ("At the default 100k-doc corpus the stage walls 2-6s, of "
+              "which ~2s is the fixed two-driver-action floor — the "
               "efficiency column there measures that floor, not the "
-              "plan.  4× the distinct-doc corpus makes the linear "
-              "signature pass dominate.  (Since r4 the corpus is a "
-              "pre-materialized parquet fixture, so the stage measures "
+              "plan.  Raised from r4's 400k after the r5 Arrow signature "
+              "pass made the stage ~3× faster (the 32-core wall fell to "
+              "~5s, floor-dominated again); 12× the distinct-doc corpus "
+              "keeps the linear signature pass dominant.  (The corpus is "
+              "a pre-materialized parquet fixture, so the stage measures "
               "the dedup plan, not corpus synthesis.)")},
     {"title": "ann_lsh at work-dominated scale (ANN_N=1.5M)",
      "env": {"SPARK_GRAFT_ANN_N": "1500000"},
@@ -100,8 +110,17 @@ def _workload_key(overrides: dict | None = None) -> dict:
 # therefore remain admissible evidence for every stage EXCEPT dedup_near.
 # r3.2 and unversioned trials are excluded everywhere (the headline's
 # aggregate changed at r3.2→r3.3).
-_PREV_COMPATIBLE = "r3.3-allcols-agg+cellBHJ+xl8192"
-DEFAULT_ACCEPT = frozenset({WORKLOAD_VERSION, _PREV_COMPATIBLE})
+# r4.1 → r5.1 changed ONLY dedup_near (operators/dedup.py signature pass
+# moved to the Arrow mapInPandas form; measured 4× CPU inflation in the
+# JVM form at 32 cores — see _doc_signatures_arrow) — verified by git
+# diff over bench.py's stage bodies and every engine module the other
+# stages call: zero changes outside dedup.py (+ knn.py's knn_hex, which
+# no bench stage exercises).  r4.1 and r3.3 trials therefore remain
+# admissible evidence for every stage EXCEPT dedup_near (its per-stage
+# lineage pins to the CURRENT version only).
+_PREV_COMPATIBLE = frozenset({"r3.3-allcols-agg+cellBHJ+xl8192",
+                              "r4.1-dedup-corpus-parquet+60bit-hset"})
+DEFAULT_ACCEPT = frozenset({WORKLOAD_VERSION}) | _PREV_COMPATIBLE
 STAGE_ACCEPT = {
     "dedup_near": frozenset({WORKLOAD_VERSION}),
 }
@@ -189,7 +208,12 @@ def _record_trial(r: dict) -> dict:
     measured-code versions, ADVICE r2 #1); the git SHA is recorded per
     trial as the audit trail."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    r = dict(r, workload=_workload_key(), git_sha=_git_sha())
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    r = dict(r, workload=_workload_key(), git_sha=_git_sha(),
+             window=WINDOW_ID, loadavg=load1)
     with open(_trials_path(), "a") as f:
         f.write(json.dumps(r) + "\n")
     return r
@@ -244,6 +268,61 @@ def _stage_minima(trials_by_level: dict[int, list[dict]],
     return out
 
 
+def _window_rows(sf_dir: str, want: dict) -> list[dict]:
+    """One row per invocation window holding a base-workload trial at BOTH
+    8 and 32 vCPUs plus that invocation's own control line: the window's
+    headline 8→32 efficiency normalized by the SAME window's ALU-control
+    efficiency.  Controls run at invocation start and trials minutes
+    later, so each trial's 1-min loadavg is carried for honesty."""
+    ctrl_by_win: dict[str, dict] = {}
+    try:
+        for line in open(os.path.join(REPO, "BENCH", "controls.jsonl")):
+            h = json.loads(line)
+            if h.get("window") and "alu" in h:
+                ctrl_by_win[h["window"]] = h
+    except FileNotFoundError:
+        pass
+    by_win: dict[str, dict[int, list[dict]]] = {}
+    for cpus, runs in _load_trials(sf_dir).items():
+        for r in runs:
+            w = r.get("window")
+            if w and _stage_matches("spatial_enrich_xl",
+                                    r.get("workload", {}), want):
+                by_win.setdefault(w, {}).setdefault(cpus, []).append(r)
+    rows = []
+    for w in sorted(by_win):
+        lv = by_win[w]
+        if 8 not in lv or 32 not in lv or w not in ctrl_by_win:
+            continue
+        tp8 = max(r["spatial_rows_per_sec"] for r in lv[8])
+        tp32 = max(r["spatial_rows_per_sec"] for r in lv[32])
+        c = ctrl_by_win[w]
+        alu_eff = (c["alu"]["32"] / c["alu"]["8"]) / 4
+        eff = (tp32 / tp8) / 4
+        rows.append({
+            "window": w, "eff": round(eff, 3),
+            "alu_eff": round(alu_eff, 3),
+            "ratio": round(eff / alu_eff, 3) if alu_eff else 0.0,
+            "load8": max((r.get("loadavg") or 0.0) for r in lv[8]),
+            "load32": max((r.get("loadavg") or 0.0) for r in lv[32]),
+        })
+    return rows
+
+
+def _vs_ceilings(eff: float, ctrl_eff: float, bw_eff: float) -> str:
+    """Truthful placement of a measured efficiency against the two host
+    ceilings — computed, never asserted (r4 verdict #2)."""
+    hi, lo = max(ctrl_eff, bw_eff), min(ctrl_eff, bw_eff)
+    if eff >= hi:
+        return (f"reads at/above the ALU ceiling ({ctrl_eff:.2f})")
+    if eff >= lo:
+        return (f"reads between the stream ({bw_eff:.2f}) and ALU "
+                f"({ctrl_eff:.2f}) ceilings")
+    return (f"is BELOW both host ceilings (stream {bw_eff:.2f}, ALU "
+            f"{ctrl_eff:.2f}) — residual plan serialization the ceilings "
+            "do not cover")
+
+
 def host_controls() -> dict[str, dict[int, float]]:
     """Host-capacity controls at 8 and 32 pinned workers — the ceilings the
     HOST allows, against which every JVM stage efficiency must be read:
@@ -294,7 +373,7 @@ def main() -> None:
     cpath = os.path.join(REPO, "BENCH", "controls.jsonl")
     os.makedirs(os.path.dirname(cpath), exist_ok=True)
     with open(cpath, "a") as f:
-        f.write(json.dumps(ctrls) + "\n")
+        f.write(json.dumps(dict(ctrls, window=WINDOW_ID)) + "\n")
     hist = [json.loads(line) for line in open(cpath)]
     # explicit format filter: keep only lines carrying this metric at this
     # worker count (guards against old/partial lines; JSON object keys are
@@ -393,6 +472,40 @@ def main() -> None:
            if (8, 32) in eff_by_pair else "."),
         "",
     ]
+    # per-window normalized gate evidence: headline eff vs the SAME
+    # window's ALU ceiling — shows whether the headline tracks the host
+    # in every window, independent of ever catching a quiet one
+    wrows = _window_rows(sf_dir, _base_key())
+    if wrows:
+        n_ok = sum(1 for r in wrows if r["ratio"] >= 1.0)
+        lines += [
+            "## Per-window normalized 8→32 headline efficiency",
+            "",
+            "Each row is ONE invocation (\"window\"): its own ALU control",
+            "and its own 8- and 32-core trials. `ratio = headline_eff /",
+            "alu_ctl_eff` — ratio ≥ 1.0 means the headline scaled at least",
+            "as well as this host could scale pure compute IN THAT WINDOW,",
+            "so any gap to the rule's 0.8 in such a window is host",
+            "scaling, not plan serialization.  (Controls run at invocation",
+            "start, trials minutes later; per-trial 1-min loadavg shown.)",
+            "",
+            "| window | load@8 | load@32 | headline 8→32 eff "
+            "| ALU ctl eff | ratio |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in wrows:
+            lines.append(
+                f"| {r['window']} | {r['load8']:.1f} | {r['load32']:.1f} "
+                f"| {r['eff']:.3f} | {r['alu_eff']:.3f} | {r['ratio']:.3f} |")
+        med = sorted(r["ratio"] for r in wrows)[len(wrows) // 2]
+        lines += [
+            "",
+            f"**{n_ok}/{len(wrows)} windows have ratio ≥ 1.0; median ratio "
+            f"{med:.3f}.** (Windows recorded before the window machinery "
+            "landed in r5 carry no control pairing and are absent here; "
+            "their trials still feed the minima table above.)",
+            "",
+        ]
     # per-stage efficiency for the expensive iterative/bucketed stages —
     # the headline number alone can hide a stage that stops scaling
     if pairs:
@@ -420,6 +533,7 @@ def main() -> None:
         ]
     # aux workloads: one knob re-pointed so a specific stage is
     # work-dominated enough to measure (see AUX_WORKLOADS)
+    aux_effs: dict[str, float] = {}
     for aux in AUX_WORKLOADS:
         at = _stage_minima(_load_trials(sf_dir), {**_base_key(), **aux["env"]})
         if 8 not in at or 32 not in at:
@@ -433,6 +547,7 @@ def main() -> None:
             if tl is None or th is None or not th:
                 continue
             sp = tl / th
+            aux_effs[stage] = sp / 4
             lines.append(f"| {stage} | {tl} | {th} | {sp:.2f}× "
                          f"| {sp / 4:.3f} |")
         lines += ["", f"(best of {at[8]['n_trials']} trial(s) at 8 vCPUs, "
@@ -483,9 +598,12 @@ def main() -> None:
         "  the engine's fixes target bytes-per-row (codegen joins, long",
         "  hash sets, explode+hash-agg minhash), not just task counts."
         + ((" The headline's measured 8→32 efficiency"
-            f" ({eff_by_pair[(8, 32)]:.3f}) reads against the ALU ceiling"
-            f" ({ctrl_eff:.2f}); dedup_near reads between the two.")
-           if (8, 32) in eff_by_pair else ""),
+            f" ({eff_by_pair[(8, 32)]:.3f}) "
+            + _vs_ceilings(eff_by_pair[(8, 32)], ctrl_eff, bw_eff) + ".")
+           if (8, 32) in eff_by_pair else "")
+        + "".join(f" The work-dominated {stage} efficiency ({eff:.3f}) "
+                  + _vs_ceilings(eff, ctrl_eff, bw_eff) + "."
+                  for stage, eff in sorted(aux_effs.items())),
         "",
         "The engine's plans contain nothing that serializes with executor",
         "count: the headline stage is scan → codegen'd projection → broadcast",
