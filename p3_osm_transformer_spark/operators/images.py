@@ -60,12 +60,27 @@ def encode_pixels(px: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_bytes(b: bytes) -> np.ndarray:
-    if b[:4] != MAGIC:
+    """bytes → (h, w, c) uint8.  R16F decodes natively; any other payload
+    (real PNG/JPEG/…) is handed to PIL when the environment has it — an
+    opportunistic adapter behind the codec seam (r4 verdict #8), so
+    deployments with codecs decode real images through the SAME Spark
+    plumbing while the codec-less sandbox keeps its documented guard."""
+    if b[:4] == MAGIC:
+        w, h, c, _q = struct.unpack("<IIBB", b[4:14])
+        return np.frombuffer(b[14:14 + w * h * c],
+                             dtype=np.uint8).reshape(h, w, c)
+    try:
+        from PIL import Image  # optional: not installed in this sandbox
+    except ImportError:
         raise NotImplementedError(
             "real codecs (PNG/JPEG) unavailable in this sandbox; "
             "only the deterministic R16F container is supported here")
-    w, h, c, _q = struct.unpack("<IIBB", b[4:14])
-    return np.frombuffer(b[14:14 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+    import io
+    px = np.asarray(Image.open(io.BytesIO(b)))
+    if px.dtype != np.uint8:          # 16-bit PNG etc. → 8-bit scale
+        px = (px.astype(np.float64) / px.max() * 255).astype(np.uint8) \
+            if px.max() else px.astype(np.uint8)
+    return px[:, :, None] if px.ndim == 2 else px
 
 
 def phash64(px: np.ndarray) -> int:

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from p3_osm_transformer_spark.operators.geotag import extract_geotag
-from p3_osm_transformer_spark.operators.knn import knn_bruteforce, knn_ring
+from p3_osm_transformer_spark.operators.knn import (
+    knn_bruteforce,
+    knn_hex,
+    knn_ring,
+)
 from p3_osm_transformer_spark.operators.tile_assign import assign_tiles
 
 # The flagship's branch-point persist must outlive this function (the
@@ -98,6 +102,22 @@ def enrich_images(images: DataFrame, addresses: DataFrame,
         # n_addresses (Catalog.row_count metadata) skips the sizing scan
         nn = knn_ring(pts, addr, k=1, g=None, start_ring=2,
                       n_addresses=n_addresses)
+    elif knn_strategy == "hex":
+        # hexagonal access path (seam-aware k-ring + disk-doubling rounds,
+        # operators/knn.py knn_hex): same exact-top-k contract as "ring"
+        # (flagship-with-hex == flagship-with-ring, tested on a
+        # seam-straddling fixture), ~isotropic probe disks; resolution
+        # picked by the same density heuristic, rescaled for the grid:
+        # geocell areas shrink 4× per g step, aperture-7 hex areas 7× per
+        # res step, so the equal-density level is g·ln4/ln7 ≈ 0.712·g
+        import math
+
+        from p3_osm_transformer_spark.operators.knn import pick_resolution
+        n_addr = (n_addresses if n_addresses is not None
+                  else addresses.count())
+        hex_res = max(2, min(15, round(
+            pick_resolution(n_addr) * math.log(4) / math.log(7))))
+        nn = knn_hex(pts, addr, k=1, res=hex_res)
     else:
         nn = knn_bruteforce(pts, addr, k=1)
     nn = nn.select(F.col("point_id").alias("image_id"),

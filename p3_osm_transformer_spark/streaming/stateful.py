@@ -88,8 +88,11 @@ def first_seen_dedup(stream_df: DataFrame, key_col: str,
                                     "append", timeout_conf))
 
 
-def await_drained(query, timeout_s: int, state_timeout_set: bool) -> None:
-    """Wait for an availableNow stateful query to finish its work.
+def await_drained(query, timeout_s: int, state_timeout_set: bool) -> list:
+    """Wait for an availableNow stateful query to finish its work; return
+    the committed batches' ``StreamingQueryProgress`` list so callers can
+    read state-store metrics (numRowsRemoved/numRowsTotal) instead of
+    sequencing timer expiry by wall-clock sleeps.
 
     Without a state timeout the query self-terminates when the data is
     drained — plain awaitTermination.  WITH ProcessingTimeTimeout, Spark
@@ -105,17 +108,18 @@ def await_drained(query, timeout_s: int, state_timeout_set: bool) -> None:
             raise TimeoutError(
                 f"stream did not finish within {timeout_s}s; output is "
                 "incomplete")
-        return
+        return list(query.recentProgress)
     import time as _time
     deadline = _time.time() + timeout_s
     while _time.time() < deadline:
         if not query.isActive:
-            return
+            return list(query.recentProgress)
         if any(getattr(p, "numInputRows", None) == 0
                for p in query.recentProgress):
+            progress = list(query.recentProgress)
             query.stop()
             query.awaitTermination(30)
-            return
+            return progress
         _time.sleep(0.3)
     query.stop()
     raise TimeoutError(
@@ -125,11 +129,13 @@ def await_drained(query, timeout_s: int, state_timeout_set: bool) -> None:
 def run_dedup_stream(spark, input_dir: str, schema, key_col: str,
                      order_col: str, output_dir: str,
                      checkpoint_dir: str,
-                     state_timeout_s: int | None = None) -> None:
+                     state_timeout_s: int | None = None) -> list:
     """File-source driver: dedup everything currently available, append
-    survivors to ``output_dir`` parquet, then stop.  Re-running with the
-    same checkpoint resumes the state store — keys seen in an earlier run
-    stay deduped (the snapshot-resume semantic, state-store edition)."""
+    survivors to ``output_dir`` parquet, then stop; returns the run's
+    committed ``StreamingQueryProgress`` list (state-store metrics per
+    batch).  Re-running with the same checkpoint resumes the state store —
+    keys seen in an earlier run stay deduped (the snapshot-resume
+    semantic, state-store edition)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     deduped = first_seen_dedup(stream, key_col, order_col,
                                state_timeout_s=state_timeout_s)
@@ -140,4 +146,4 @@ def run_dedup_stream(spark, input_dir: str, schema, key_col: str,
              .option("checkpointLocation", checkpoint_dir)
              .trigger(availableNow=True)
              .start())
-    await_drained(query, 300, state_timeout_s is not None)
+    return await_drained(query, 300, state_timeout_s is not None)

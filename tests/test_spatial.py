@@ -237,6 +237,43 @@ def test_knn_hex_exact_across_face_seams(spark):
     assert hexed == brute
 
 
+def test_knn_hex_sparse_resolves_via_expanded_rings_not_brute(spark):
+    """r4 verdict #5: on a SPARSE address table (density mismatched to
+    ``res``) the iterative disk-doubling must do the work — most points
+    resolve through an expanded ring round, not the brute-force tail.
+
+    Fixture geometry: addresses on a ~1° grid (nearest other address
+    ≥ ~85 km), each point offset ~8 km from its grid address.  At res=7
+    the round-0 resolve margin is ~4.4 km < 8 km, so round 0 provably
+    resolves NOTHING (kNN distance exceeds the 1-disk margin); the
+    disk-2/disk-4 rounds (margins ~13.2 / ~30.8 km) must pick the points
+    up.  Output must still equal brute force exactly."""
+    addrs = spark.createDataFrame(
+        [(f"a-{ix}-{iy}", -40.0 + ix * 1.0, -40.0 + iy * 1.0)
+         for ix in range(20) for iy in range(20)],
+        "addr_id string, lon double, lat double")
+    pts = spark.createDataFrame(
+        [(i, -40.0 + (i * 7 % 20) * 1.0,
+          -40.0 + (i * 3 % 20) * 1.0 + 0.072)      # ~8.0 km north
+         for i in range(100)],
+        "point_id long, lon double, lat double")
+    stats: list = []
+    hexed = {(r["point_id"], r["addr_id"])
+             for r in knn.knn_hex(pts, addrs, k=1, res=7,
+                                  probe_stats=stats).collect()}
+    brute = {(r["point_id"], r["addr_id"])
+             for r in knn.knn_bruteforce(pts, addrs, k=1).collect()}
+    assert hexed == brute
+    rounds = [s for s in stats if "round" in s]
+    assert rounds and rounds[0]["n_done"] == 0      # 8 km > 4.4 km margin
+    n_pts = pts.count()
+    ring_resolved = sum(s["n_done"] for s in rounds)
+    tail = next((s["brute_tail_points"] for s in stats
+                 if "brute_tail_points" in s), 0)
+    assert ring_resolved >= 0.8 * n_pts, (stats, ring_resolved)
+    assert tail <= 0.2 * n_pts, stats
+
+
 def test_hex_ring_candidates_cover_near_addresses(spark):
     """Completeness contract of the probe join: every address within
     ~0.8 cell widths of a point appears among its candidates."""

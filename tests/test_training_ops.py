@@ -260,6 +260,29 @@ def test_ann_lsh_auto_bits_planted_recall(spark):
     assert top1 == {(i, 1000 + i) for i in range(20)}
 
 
+def test_doc_signatures_arrow_equals_catalyst(spark):
+    """The Arrow signature fast path (r5: the JVM construction burned 4×
+    the CPU at 32 cores) must be VALUE-IDENTICAL to the Catalyst spec
+    form — minima, 60-bit hash sets, and band keys — including the edge
+    docs: <shingle_n tokens, punctuation-only (tokenizes to nothing →
+    one ""-shingle), empty string, and NULL text (Catalyst's concat_ws
+    turns the null token array into "" — the row is KEPT)."""
+    edge = spark.createDataFrame(
+        [(900001, "two tokens"), (900002, "one"), (900003, "!!! ... ---"),
+         (900004, ""), (900005, None),
+         (900006, "Mixed CASE text with   runs\tof whitespace and 42 digits")],
+        "doc_id long, text string")
+    c = _corpus(spark).unionByName(edge)
+    a = dedup._doc_signatures(c, "doc_id", "text", 8, 2, 3, impl="arrow")
+    b = dedup._doc_signatures(c, "doc_id", "text", 8, 2, 3, impl="catalyst")
+    fa = {r["doc_id"]: (sorted(r["hset"]), list(r["bands"]))
+          for r in a.collect()}
+    fb = {r["doc_id"]: (sorted(r["hset"]), list(r["bands"]))
+          for r in b.collect()}
+    assert fa == fb
+    assert 900005 in fa and 900004 in fa
+
+
 def test_dedup_caches_released(spark):
     """dedup_near / hamming_near_pairs materialize-then-unpersist their
     internal caches: repeated calls accrete no DataFrame cache entries."""
@@ -270,6 +293,40 @@ def test_dedup_caches_released(spark):
         dedup.hamming_near_pairs(
             c.selectExpr("doc_id as id", "doc_id * 7 as h"), "id", "h").count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_enrich_images_hex_equals_ring_on_seam_straddling_fixture(spark):
+    """r4 verdict #7: the flagship with knn_strategy=\"hex\" must produce
+    the SAME enrichment as knn_strategy=\"ring\" — exercised on a global
+    scatter so points and addresses straddle icosahedron face seams (the
+    hex path's hard case; both strategies share the exact-top-k contract
+    and the (dist, addr_id) tie-break)."""
+    from p3_osm_transformer_spark.plans.pipeline import enrich_images_scope
+
+    imgs = spark.createDataFrame(
+        [(f"img-{i:04d}",
+          f"scatter shot {i} @ geo:"
+          f"{-83.0 + (i * 7 % 1660) / 10.0:.7f},"
+          f"{-180 + (i * 53 % 360) + 0.4321:.7f}")
+         for i in range(120)]
+        + [(f"img-ng{i}", f"untagged snapshot {i}") for i in range(8)],
+        "image_id string, caption string") \
+        .withColumn("bytes", F.lit(None).cast("binary")) \
+        .withColumn("phash", F.lit(0).cast("long"))
+    addrs = spark.createDataFrame(
+        [(f"a-{i}", f"{i} Scatter Way",
+          -84.0 + (i * 13 % 1680) / 10.0, -180 + (i * 37 % 360) * 1.0)
+         for i in range(600)],
+        "addr_id string, street_address string, lat double, lon double")
+
+    def picks(strategy):
+        with enrich_images_scope(imgs, addrs, knn_strategy=strategy) as df:
+            return {(r.image_id, r.nearest_addr_id, r.hex_9, r.s2_12)
+                    for r in df.collect()}
+
+    ring, hexed = picks("ring"), picks("hex")
+    assert hexed == ring
+    assert len(ring) == 128          # every input row, geo or not
 
 
 def test_enrich_cache_bounded_and_releasable(spark):
