@@ -196,6 +196,26 @@ def main() -> None:
           f"{'OK' if mb_ok else 'VIOLATION'} "
           f"(exchanges={n_exch})")
 
+    # 8b. dedup_near (r5 rewrite): the signature pass is ONE Arrow
+    # MapInPandas map — no aggregate, no Exchange at all (the r4 JVM
+    # construction burned 4× the CPU at 32 cores; tools/dedup_profile.py
+    # + operators/dedup.py _doc_signatures_arrow docstring).  The
+    # candidates→verify plan the caller executes reads the CHECKPOINTED
+    # signature blocks from every side — no Python left in it, no
+    # cartesian.
+    from p3_osm_transformer_spark.operators.dedup import (
+        _doc_signatures, dedup_near)
+    audit("dedup signature pass (one Arrow map, zero exchanges)",
+          _doc_signatures(docs, "doc_id", "text", 8, 2, 3, impl="arrow"),
+          must=["MapInPandas"],
+          must_not=["Exchange", "HashAggregate", "CartesianProduct",
+                    "BatchEvalPython"])
+    audit("dedup_near candidates+verify (reads checkpointed signatures)",
+          dedup_near(docs.limit(2000), threshold=0.7),
+          must=["Scan ExistingRDD"],
+          must_not=["CartesianProduct", "BatchEvalPython", "MapInPandas",
+                    "ArrowEvalPython"])
+
     # 9. ANN LSH (r3 rewrite): literal-coefficient sketch (no per-row md5),
     # candidate dedup on bare id pairs, embeddings re-joined for the exact
     # re-rank — equi-joins + window only, never a cartesian/BNLJ, no Python
