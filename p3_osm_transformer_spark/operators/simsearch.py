@@ -79,21 +79,35 @@ def _coef_py(p: int, d: int) -> float:
 
 
 def sketch_bits(vec_col: str, n_planes: int = 16,
-                dim: int | None = None) -> F.Column:
+                dim: int | None = None, impl: str = "arrow") -> F.Column:
     """Sign sketch: bit_p = 1 iff Σ_d coef(p,d)·v_d ≥ 0 (bit string).
 
-    ``dim`` (the fixed embedding length) selects the production form: the
-    (dim × n_planes) coefficient matrix is precomputed on the DRIVER and
-    enters the plan as one literal, so the per-row cost is dim·n_planes
-    multiply-adds in a single array traversal.  The ``dim=None`` fallback
-    derives every coefficient per row with md5 — n_planes separate
-    aggregate passes, each hashing per (plane, dim): measured ~770
-    interpreted md5 calls per 64-dim row, the whole cost of the r2
-    ann_lsh stage (VERDICT r2 #3).  Both forms produce bit-identical
-    sketches (same coefficients, same d-ascending float summation order);
-    callers detect dim once per DataFrame (``_embedding_dim``).
-    Rows whose vector length differs from ``dim`` yield null projections
-    → all-'0' bits; keep ragged corpora on the fallback path.
+    ``dim`` (the fixed embedding length) selects the production form; the
+    ``dim=None`` fallback derives every coefficient per row with md5 —
+    n_planes separate aggregate passes, each hashing per (plane, dim):
+    measured ~770 interpreted md5 calls per 64-dim row, the whole cost
+    of the r2 ann_lsh stage (VERDICT r2 #3).  Keep ragged corpora on
+    the fallback path.
+
+    With ``dim`` known, ``impl`` picks between two value-identical forms
+    (same driver-precomputed coefficient matrix, same d-ascending float
+    summation order — parity-tested):
+
+    * ``"arrow"`` (default, the scale path): one vectorized pandas_udf —
+      a (batch × dim) float64 block accumulated against the (dim ×
+      n_planes) matrix in d-ascending order.  Chosen in r5 after the
+      same /proc/stat profiling that caught dedup_near: the Catalyst
+      literal-matrix form is an interpreted zip_with→transform→aggregate
+      chain that boxes ~2·dim·n_planes Doubles per row and scaled like
+      the dedup signature pass (CPU inflation with core count, wall
+      flat).
+    * ``"catalyst"`` — the literal-matrix HOF chain: the engine-native
+      spec form and the parity-test twin.
+
+    Rows whose vector length differs from ``dim`` keep the Catalyst
+    form's edge semantics in both impls (parity-tested): shorter → all-
+    '0' bits (null elements through the fold), longer or NULL → "" (null
+    arrays collapse under concat_ws).
     """
     if dim is None:
         dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
@@ -107,6 +121,35 @@ def sketch_bits(vec_col: str, n_planes: int = 16,
                                F.lit(0.0), lambda acc, x: acc + x)
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
+
+    if impl == "arrow":
+        coefs = np.array([[_coef_py(p, d) for p in range(n_planes)]
+                          for d in range(dim)], dtype=np.float64)
+
+        @F.pandas_udf(T.StringType())
+        def _sk(emb: pd.Series) -> pd.Series:
+            vals = emb.values
+            out = np.empty(len(vals), dtype=object)
+            good_idx = []
+            for i, v in enumerate(vals):
+                if v is None or len(v) > dim:
+                    out[i] = ""                  # null fold → concat_ws("")
+                elif len(v) < dim:
+                    out[i] = "0" * n_planes      # null elems → all-'0'
+                else:
+                    good_idx.append(i)
+            if good_idx:
+                m = np.stack([np.asarray(vals[i], dtype=np.float64)
+                              for i in good_idx])
+                acc = np.zeros((m.shape[0], n_planes), dtype=np.float64)
+                for d in range(dim):             # d-ascending: bit-exact
+                    acc += m[:, d:d + 1] * coefs[d][None, :]
+                bits = np.where(acc >= 0, "1", "0")   # NaN>=0 False → '0'
+                for row_i, brow in zip(good_idx, bits):
+                    out[row_i] = "".join(brow)
+            return pd.Series(out)
+
+        return _sk(F.col(vec_col))
 
     coefs_by_dim = [[_coef_py(p, d) for p in range(n_planes)]
                     for d in range(dim)]

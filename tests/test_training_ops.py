@@ -244,6 +244,26 @@ def test_sketch_bits_literal_matrix_matches_per_row_form(spark):
     assert len({r["fast"] for r in got}) > 10   # sketches actually vary
 
 
+def test_sketch_bits_arrow_equals_catalyst_incl_edge_rows(spark):
+    """The r5 Arrow sketch (vectorized pandas_udf) must be bit-identical
+    to the Catalyst literal-matrix form, INCLUDING the ragged-row edge
+    semantics the HOF chain defines: shorter vector → all-'0' bits,
+    longer or NULL vector → empty string."""
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(24)]) for i in range(300)]
+    rows += [(900, None), (901, [1.0] * 10), (902, [1.0] * 30), (903, [])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = emb.select(
+        "vec_id",
+        simsearch.sketch_bits("embedding", 12, dim=24, impl="arrow")
+        .alias("arrow"),
+        simsearch.sketch_bits("embedding", 12, dim=24, impl="catalyst")
+        .alias("cat")).collect()
+    bad = [(r["vec_id"], r["arrow"], r["cat"])
+           for r in got if r["arrow"] != r["cat"]]
+    assert not bad, bad[:5]
+
+
 def test_ann_lsh_auto_bits_planted_recall(spark):
     """cosine_topk_lsh with prefix_bits=None (corpus-derived) still finds
     planted exact copies — identical vectors share a bucket at any bits."""

@@ -51,7 +51,7 @@ WORKLOAD_KNOBS = {
 # The git SHA of every trial is still RECORDED (audit trail) but is not
 # part of the match key: doc-only commits between trials must not orphan
 # the accumulated minima, while a version bump here deliberately does.
-WORKLOAD_VERSION = "r5.1-arrow-signatures"
+WORKLOAD_VERSION = "r5.2-arrow-sketch+ann-corpus-parquet"
 
 
 # Auxiliary workloads: same suite with one knob re-pointed so a specific
@@ -110,19 +110,25 @@ def _workload_key(overrides: dict | None = None) -> dict:
 # therefore remain admissible evidence for every stage EXCEPT dedup_near.
 # r3.2 and unversioned trials are excluded everywhere (the headline's
 # aggregate changed at r3.2→r3.3).
-# r4.1 → r5.1 changed ONLY dedup_near (operators/dedup.py signature pass
-# moved to the Arrow mapInPandas form; measured 4× CPU inflation in the
-# JVM form at 32 cores — see _doc_signatures_arrow) — verified by git
-# diff over bench.py's stage bodies and every engine module the other
-# stages call: zero changes outside dedup.py (+ knn.py's knn_hex, which
-# no bench stage exercises).  r4.1 and r3.3 trials therefore remain
-# admissible evidence for every stage EXCEPT dedup_near (its per-stage
-# lineage pins to the CURRENT version only).
+# Per-stage version lineage:
+# * r4.1 → r5.1 changed ONLY dedup_near (operators/dedup.py signature
+#   pass moved to the Arrow mapInPandas form; measured 4× CPU inflation
+#   in the JVM form at 32 cores — see _doc_signatures_arrow).
+# * r5.1 → r5.2 changed ONLY ann_lsh (sketch_bits moved to the Arrow
+#   pandas_udf form, value-identical; bench corpus pre-materialized to
+#   parquet like the r4 dedup corpus — the timed stage now measures the
+#   ANN plan, not range→interpreted-transform corpus synthesis).
+# Verified by git diff over bench.py's stage bodies and every engine
+# module the other stages call.  Older trials remain admissible for
+# every stage whose measured definition is unchanged since their
+# version; dedup_near pins to {r5.1, r5.2}, ann_lsh to {r5.2}.
 _PREV_COMPATIBLE = frozenset({"r3.3-allcols-agg+cellBHJ+xl8192",
-                              "r4.1-dedup-corpus-parquet+60bit-hset"})
+                              "r4.1-dedup-corpus-parquet+60bit-hset",
+                              "r5.1-arrow-signatures"})
 DEFAULT_ACCEPT = frozenset({WORKLOAD_VERSION}) | _PREV_COMPATIBLE
 STAGE_ACCEPT = {
-    "dedup_near": frozenset({WORKLOAD_VERSION}),
+    "dedup_near": frozenset({WORKLOAD_VERSION, "r5.1-arrow-signatures"}),
+    "ann_lsh": frozenset({WORKLOAD_VERSION}),
 }
 STAGE_KNOBS = {
     "spatial_enrich_xl": ("SPARK_GRAFT_XL_MULT",),
@@ -538,9 +544,7 @@ def main() -> None:
         at = _stage_minima(_load_trials(sf_dir), {**_base_key(), **aux["env"]})
         if 8 not in at or 32 not in at:
             continue
-        lines += [f"## {aux['title']}", "", aux["note"], "",
-                  "| stage | wall@8 (s) | wall@32 (s) | speedup | efficiency |",
-                  "|---|---|---|---|---|"]
+        rows = []
         for stage in aux["stages"]:
             tl = at[8]["queries"].get(stage)
             th = at[32]["queries"].get(stage)
@@ -548,10 +552,27 @@ def main() -> None:
                 continue
             sp = tl / th
             aux_effs[stage] = sp / 4
-            lines.append(f"| {stage} | {tl} | {th} | {sp:.2f}× "
-                         f"| {sp / 4:.3f} |")
-        lines += ["", f"(best of {at[8]['n_trials']} trial(s) at 8 vCPUs, "
-                  f"{at[32]['n_trials']} at 32; knobs: "
+            rows.append(f"| {stage} | {tl} | {th} | {sp:.2f}× "
+                        f"| {sp / 4:.3f} |")
+        if not rows:
+            # no trial at this aux knob has reached BOTH levels yet —
+            # an empty table would imply measured evidence that isn't
+            # there (the level entries above matched on OTHER stages)
+            continue
+        lines += [f"## {aux['title']}", "", aux["note"], "",
+                  "| stage | wall@8 (s) | wall@32 (s) | speedup | efficiency |",
+                  "|---|---|---|---|---|"] + rows
+        # count the trials that actually fed THIS stage's minima (the
+        # headline trial count over-states aux evidence)
+        want = {**_base_key(), **aux["env"]}
+        tb = _load_trials(sf_dir)
+        n_at = {lv: sum(1 for r in tb.get(lv, [])
+                        if any(s in r["queries"] and _stage_matches(
+                            s, r.get("workload", {}), want)
+                            for s in aux["stages"]))
+                for lv in (8, 32)}
+        lines += ["", f"(best of {n_at[8]} trial(s) at 8 vCPUs, "
+                  f"{n_at[32]} at 32; knobs: "
                   + ", ".join(f"{k}={v}" for k, v in aux["env"].items())
                   + ")", ""]
     lines += [
