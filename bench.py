@@ -315,28 +315,30 @@ def main() -> None:
     # allocation-bound HOF shape whose scaling ceiling the r5 dedup
     # profile measured — timing it inside the stage measured corpus
     # synthesis, not the ANN plan.
+    # Embeddings are full-entropy murmur3 hashes per (id, dim) — r5.3: the
+    # old lattice formula ((id+1)*(37d+11) % 997) depended only on
+    # id mod 997, so a 1.5M-row corpus held 997 DISTINCT vectors: sketches
+    # collapsed into 869 of 8192 buckets and the stage measured a
+    # duplicate-vector hot-bucket pathology (1.28M candidate pairs for
+    # 200 queries) instead of a representative ANN workload.
     n_corpus = int(os.environ.get("SPARK_GRAFT_ANN_N", "200000"))
-    ann_path = os.path.join(fixdir, f"ann_corpus_n{n_corpus}")
+    ann_dims = F.sequence(F.lit(1), F.lit(64))
+    ann_vec = F.transform(
+        ann_dims, lambda d: F.hash(F.col("id"), d) / 2147483648.0)
+    ann_path = os.path.join(fixdir, f"ann_corpus_v2_n{n_corpus}")
     if not os.path.exists(os.path.join(ann_path, "_SUCCESS")):
-        dims = F.sequence(F.lit(1), F.lit(64))
-        vec = F.transform(
-            dims, lambda d: (((F.col("id") + 1) * (d * 37 + 11) % 997)
-                             / 498.5 - 1.0).cast("double"))
         # 64 files so every parallelism level scans with full task waves
         spark.range(0, n_corpus, 1, 64).select(
-            F.col("id").alias("neighbor_id"), vec.alias("embedding")) \
+            F.col("id").alias("neighbor_id"), ann_vec.alias("embedding")) \
             .write.mode("overwrite").parquet(ann_path)
 
     @timed("ann_lsh")
     def _ann():
         from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
         corpus = spark.read.parquet(ann_path)
-        dims = F.sequence(F.lit(1), F.lit(64))
-        vec = F.transform(
-            dims, lambda d: (((F.col("id") + 1) * (d * 37 + 11) % 997)
-                             / 498.5 - 1.0).cast("double"))
         qv = spark.range(0, 200).select(
-            (F.col("id") + 5_000_000).alias("query_id"), vec.alias("embedding"))
+            (F.col("id") + 5_000_000).alias("query_id"),
+            ann_vec.alias("embedding"))
         return _force(cosine_topk_lsh(qv, corpus, k=10, prefix_bits=None,
                                       n_corpus=n_corpus, dim=64))
 

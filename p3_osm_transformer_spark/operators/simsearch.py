@@ -163,6 +163,76 @@ def sketch_bits(vec_col: str, n_planes: int = 16,
         proj, lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))))
 
 
+def _cosine_arrow(dim: int):
+    """Fused per-pair cosine for the re-rank join — the r5.3 scale path.
+
+    The Catalyst per-pair form evaluates three interpreted HOF folds per
+    candidate (dot) plus one per input ROW (norms — including one pass
+    over the ENTIRE corpus side before the join): /proc/stat profiling at
+    ANN_N=1.5M (tools/ann_profile.py) attributed ~50 of the stage's 145
+    CPU-seconds at 32 cores to this block, with 2.3× CPU inflation vs 8
+    cores — the same boxed-Double allocation pressure that capped the
+    dedup signature pass (operators/dedup.py _doc_signatures_arrow).
+
+    Bit-identical to the Catalyst form by construction: dot and both
+    squared norms accumulate in d-ascending order (acc = acc + x, one
+    rounding per step — numpy mul-then-add equals the JVM's), then
+    cos = dot / (sqrt(qn2) * sqrt(cn2)).  Edge rows keep the HOF edge
+    semantics (parity-tested): NULL on either side, or length mismatch
+    between the two vectors (zip_with pads with null → null fold) → NULL;
+    equal non-``dim`` lengths still compute exactly (left-fold twin).
+    """
+    @F.pandas_udf(T.DoubleType())
+    def _cos(qe: pd.Series, ce: pd.Series) -> pd.Series:
+        import math
+        qv, cv = qe.values, ce.values
+        out = np.empty(len(qv), dtype=object)
+        fast = []
+        for i in range(len(qv)):
+            a, b = qv[i], cv[i]
+            if a is None or b is None or len(a) != len(b):
+                out[i] = None
+            elif len(a) == dim:
+                fast.append(i)
+            else:                      # equal ragged length: exact fold
+                dot = qn2 = cn2 = 0.0
+                for x, y in zip(a, b):
+                    dot += float(x) * float(y)
+                    qn2 += float(x) * float(x)
+                    cn2 += float(y) * float(y)
+                denom = math.sqrt(qn2) * math.sqrt(cn2)
+                # Spark non-ANSI x/0.0 → NULL (NaN denom still divides)
+                out[i] = None if denom == 0.0 else dot / denom
+        if fast:
+            qm = np.stack([np.asarray(qv[i], dtype=np.float64) for i in fast])
+            cm = np.stack([np.asarray(cv[i], dtype=np.float64) for i in fast])
+            dot = np.zeros(len(fast), dtype=np.float64)
+            qn2 = np.zeros(len(fast), dtype=np.float64)
+            cn2 = np.zeros(len(fast), dtype=np.float64)
+            for d in range(dim):       # d-ascending: bit-exact vs the fold
+                dot += qm[:, d] * cm[:, d]
+                qn2 += qm[:, d] * qm[:, d]
+                cn2 += cm[:, d] * cm[:, d]
+            denom = np.sqrt(qn2) * np.sqrt(cn2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / denom
+            for j, i in enumerate(fast):
+                # Spark non-ANSI x/0.0 → NULL (NaN denom still divides)
+                out[i] = None if denom[j] == 0.0 else float(cos[j])
+        return pd.Series(out)
+
+    return _cos
+
+
+def _bucket_long(bits_col: F.Column) -> F.Column:
+    """Bit-string bucket → long join/shuffle key (prefix_bits ≤ 24 < 63 so
+    the mapping is bijective): hashing/comparing 8-byte longs through the
+    window sort, bucket join and distinct beats 13-char strings — the
+    candidate phase showed 2.2× CPU inflation at 32 cores on the string
+    form (tools/ann_profile.py)."""
+    return F.conv(bits_col, 2, 10).cast("long")
+
+
 def _embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int | None:
     """Fixed embedding length, detected from one row (column-pruned scan).
     None for an empty frame — callers fall back to the per-row sketch."""
@@ -187,7 +257,8 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     n_planes: int = 12, prefix_bits: int | None = None,
                     max_bucket: int = 10_000,
                     n_corpus: int | None = None,
-                    dim: int | None = None) -> DataFrame:
+                    dim: int | None = None,
+                    impl: str = "arrow") -> DataFrame:
     """ANN: sketch-prefix bucket join (multi-probe: exact prefix plus the
     prefix_bits single-bit-flip neighbors) → exact cosine re-rank.
 
@@ -201,6 +272,13 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     not whole-bucket drop — because for *search* a dropped bucket would
     zero recall for every query hashing into it, while a truncated bucket
     degrades gracefully.
+
+    ``impl`` selects between two value-identical physical forms of the
+    sketch and the cosine re-rank (parity-tested, see sketch_bits and
+    _cosine_arrow): ``"arrow"`` (default — vectorized pandas_udfs, the
+    scale path) and ``"catalyst"`` (interpreted HOF folds, the engine-
+    native spec twin).  Ignored (catalyst fallback) when ``dim`` is
+    unknown.
     """
     if prefix_bits is None:
         prefix_bits = pick_prefix_bits(
@@ -209,6 +287,7 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
         n_planes = prefix_bits
     if dim is None:
         dim = _embedding_dim(corpus)
+    sk_impl = impl if dim is not None else "catalyst"
     # Candidate generation runs on (id, bucket) pairs ONLY — the multi-probe
     # duplicate-dedup distinct() and the hot-bucket window shuffle ids, not
     # embeddings.  The r2 form carried both 64-dim vectors through the
@@ -219,10 +298,11 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     # recomputed each norm once per candidate — |pairs|/|rows| ≈ 2000×
     # redundant work for the query side).
     qs = queries.select(F.col(q_id),
-                        sketch_bits("embedding", n_planes, dim).alias("_sk"))
-    cs = corpus.select(F.col(c_id),
-                       F.substring(sketch_bits("embedding", n_planes, dim), 1,
-                                   prefix_bits).alias("_bucket"))
+                        sketch_bits("embedding", n_planes, dim,
+                                    impl=sk_impl).alias("_sk"))
+    cs = corpus.select(F.col(c_id), _bucket_long(
+        F.substring(sketch_bits("embedding", n_planes, dim, impl=sk_impl),
+                    1, prefix_bits)).alias("_bucket"))
     wb = Window.partitionBy("_bucket").orderBy(c_id)
     cs = (cs.withColumn("_bpos", F.row_number().over(wb))
           .filter(F.col("_bpos") <= max_bucket).drop("_bpos"))
@@ -233,17 +313,29 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     F.when(F.substring("_sk", i + 1, 1) == "1", "0").otherwise("1"),
                     F.substring("_sk", i + 2, prefix_bits - i - 1))
            for i in range(prefix_bits)]))
-    qp = qs.select(F.col(q_id), F.explode(F.array_distinct(probes)).alias("_bucket"))
+    qp = (qs.select(F.col(q_id),
+                    F.explode(F.array_distinct(probes)).alias("_bs"))
+          .select(F.col(q_id), _bucket_long(F.col("_bs")).alias("_bucket")))
     cand_ids = (qp.join(cs, "_bucket")
                 .filter(F.col(q_id) != F.col(c_id))
                 .select(q_id, c_id).distinct())
-    qe = queries.select(F.col(q_id), F.col("embedding").alias("_qe"),
-                        _norm("embedding").alias("_qn"))
-    ce = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"),
-                       _norm("embedding").alias("_cn"))
-    sim = _dot("_qe", "_ce") / (F.col("_qn") * F.col("_cn"))
-    cand = (cand_ids.join(qe, q_id).join(ce, c_id)
-            .withColumn("cos_sim", sim))
+    if dim is not None and impl == "arrow":
+        # fused Arrow cosine per candidate pair — no corpus-wide norm pass
+        # (a 64-dim norm per pair is ~nothing vectorized; the Catalyst
+        # form's per-row norms existed to avoid re-evaluating the
+        # INTERPRETED fold per pair)
+        qe = queries.select(F.col(q_id), F.col("embedding").alias("_qe"))
+        ce = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"))
+        cand = (cand_ids.join(qe, q_id).join(ce, c_id)
+                .withColumn("cos_sim", _cosine_arrow(dim)("_qe", "_ce")))
+    else:
+        qe = queries.select(F.col(q_id), F.col("embedding").alias("_qe"),
+                            _norm("embedding").alias("_qn"))
+        ce = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"),
+                           _norm("embedding").alias("_cn"))
+        sim = _dot("_qe", "_ce") / (F.col("_qn") * F.col("_cn"))
+        cand = (cand_ids.join(qe, q_id).join(ce, c_id)
+                .withColumn("cos_sim", sim))
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -264,6 +264,32 @@ def test_sketch_bits_arrow_equals_catalyst_incl_edge_rows(spark):
     assert not bad, bad[:5]
 
 
+def test_cosine_topk_lsh_arrow_equals_catalyst_incl_edge_rows(spark):
+    """The r5.3 Arrow re-rank (fused per-pair cosine pandas_udf) + long
+    bucket keys must leave cosine_topk_lsh's OUTPUT identical to the
+    Catalyst HOF spec twin — same (query_id, neighbor_id, cos_sim, rank)
+    rows, cos_sim bit-exact before the round-6 — including the HOF edge
+    semantics: NULL embedding or per-pair length mismatch → NULL cos_sim
+    (ranked last), equal ragged lengths still compute exactly."""
+    rng = np.random.RandomState(17)
+    rows = [(i, [float(x) for x in rng.randn(24)]) for i in range(400)]
+    # ragged/null corpus rows: shorter, longer, null, empty
+    rows += [(900, [1.0] * 10), (901, [0.5] * 30), (902, None), (903, [])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qrows = [(5000 + i, [float(x) for x in rng.randn(24)]) for i in range(12)]
+    qrows += [(5900, [1.0] * 10), (5901, None)]   # ragged/null queries too
+    qv = spark.createDataFrame(qrows, "query_id long, embedding array<double>")
+    cv = emb.selectExpr("vec_id as neighbor_id", "embedding")
+    a = simsearch.cosine_topk_lsh(qv, cv, k=7, prefix_bits=4, dim=24,
+                                  impl="arrow")
+    b = simsearch.cosine_topk_lsh(qv, cv, k=7, prefix_bits=4, dim=24,
+                                  impl="catalyst")
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    fa = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in a.collect()}
+    fb = {key(r): (r["neighbor_id"], r["cos_sim"]) for r in b.collect()}
+    assert fa == fb and len(fa) > 40
+
+
 def test_ann_lsh_auto_bits_planted_recall(spark):
     """cosine_topk_lsh with prefix_bits=None (corpus-derived) still finds
     planted exact copies — identical vectors share a bucket at any bits."""

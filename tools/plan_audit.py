@@ -216,16 +216,19 @@ def main() -> None:
           must_not=["CartesianProduct", "BatchEvalPython", "MapInPandas",
                     "ArrowEvalPython"])
 
-    # 9. ANN LSH (r3 rewrite): literal-coefficient sketch (no per-row md5),
-    # candidate dedup on bare id pairs, embeddings re-joined for the exact
-    # re-rank — equi-joins + window only, never a cartesian/BNLJ, no Python
+    # 9. ANN LSH (r3 bucket-join rewrite; r5.2 Arrow sketch; r5.3 long
+    # bucket keys + fused Arrow re-rank): candidate dedup on bare (id,
+    # long-bucket) pairs, embeddings re-joined for the exact re-rank.
+    # Python appears ONLY as vectorized ArrowEvalPython pandas_udf nodes
+    # (the sign sketch + the per-pair cosine) — never row-at-a-time
+    # BatchEvalPython, never MapInPandas, never a cartesian/BNLJ.
     from p3_osm_transformer_spark.operators.simsearch import cosine_topk_lsh
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     aq = emb.filter("vec_id < 50").selectExpr("vec_id as query_id", "embedding")
     ac = emb.selectExpr("vec_id as neighbor_id", "embedding")
     audit("ann lsh bucket join + exact re-rank",
           cosine_topk_lsh(aq, ac, k=5, prefix_bits=6),
-          must=["Window"],
+          must=["Window", "ArrowEvalPython"],
           must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
                     "BatchEvalPython", "MapInPandas"])
 

@@ -51,7 +51,7 @@ WORKLOAD_KNOBS = {
 # The git SHA of every trial is still RECORDED (audit trail) but is not
 # part of the match key: doc-only commits between trials must not orphan
 # the accumulated minima, while a version bump here deliberately does.
-WORKLOAD_VERSION = "r5.2-arrow-sketch+ann-corpus-parquet"
+WORKLOAD_VERSION = "r5.3-long-buckets+arrow-rerank"
 
 
 # Auxiliary workloads: same suite with one knob re-pointed so a specific
@@ -76,11 +76,15 @@ AUX_WORKLOADS = [
     {"title": "ann_lsh at work-dominated scale (ANN_N=1.5M)",
      "env": {"SPARK_GRAFT_ANN_N": "1500000"},
      "stages": ["ann_lsh"],
-     "note": ("At the default 200k-vector corpus the stage walls 5-8s — "
+     "note": ("At the default 200k-vector corpus the stage walls 3-6s — "
               "floor-dominated (two driver actions + Arrow spin-up), so "
               "its per-stage efficiency there measures the scheduler.  "
               "7.5× the corpus makes the sketch + bucket join + re-rank "
-              "the dominant work.")},
+              "the dominant work.  (r5.3: long bucket keys + fused Arrow "
+              "per-pair cosine re-rank — tools/ann_profile.py had "
+              "attributed ~100 of the stage's 145 CPU-s at 32 cores to "
+              "the string-keyed candidate join and the interpreted HOF "
+              "dot/norm folds, both inflating CPU ~2.2× vs 8 cores.)")},
 ]
 
 
@@ -118,16 +122,24 @@ def _workload_key(overrides: dict | None = None) -> dict:
 #   pandas_udf form, value-identical; bench corpus pre-materialized to
 #   parquet like the r4 dedup corpus — the timed stage now measures the
 #   ANN plan, not range→interpreted-transform corpus synthesis).
+# * r5.2 → r5.3 changed ONLY ann_lsh again (long bucket keys through the
+#   window/join/distinct + fused Arrow per-pair cosine re-rank replacing
+#   the interpreted HOF dot/norm folds — tools/ann_profile.py attributed
+#   ~100 of 145 CPU-s at 32 cores to those two blocks with 2.2× CPU
+#   inflation vs 8 cores; value parity pinned by
+#   test_cosine_topk_lsh_arrow_equals_catalyst_incl_edge_rows + q31).
 # Verified by git diff over bench.py's stage bodies and every engine
 # module the other stages call.  Older trials remain admissible for
 # every stage whose measured definition is unchanged since their
-# version; dedup_near pins to {r5.1, r5.2}, ann_lsh to {r5.2}.
+# version; dedup_near pins to {r5.1, r5.2, r5.3}, ann_lsh to {r5.3}.
 _PREV_COMPATIBLE = frozenset({"r3.3-allcols-agg+cellBHJ+xl8192",
                               "r4.1-dedup-corpus-parquet+60bit-hset",
-                              "r5.1-arrow-signatures"})
+                              "r5.1-arrow-signatures",
+                              "r5.2-arrow-sketch+ann-corpus-parquet"})
 DEFAULT_ACCEPT = frozenset({WORKLOAD_VERSION}) | _PREV_COMPATIBLE
 STAGE_ACCEPT = {
-    "dedup_near": frozenset({WORKLOAD_VERSION, "r5.1-arrow-signatures"}),
+    "dedup_near": frozenset({WORKLOAD_VERSION, "r5.1-arrow-signatures",
+                             "r5.2-arrow-sketch+ann-corpus-parquet"}),
     "ann_lsh": frozenset({WORKLOAD_VERSION}),
 }
 STAGE_KNOBS = {
