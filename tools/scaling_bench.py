@@ -84,7 +84,12 @@ AUX_WORKLOADS = [
               "per-pair cosine re-rank — tools/ann_profile.py had "
               "attributed ~100 of the stage's 145 CPU-s at 32 cores to "
               "the string-keyed candidate join and the interpreted HOF "
-              "dot/norm folds, both inflating CPU ~2.2× vs 8 cores.)")},
+              "dot/norm folds, both inflating CPU ~2.2× vs 8 cores.  The "
+              "corpus is also full-entropy murmur3 since r5.3: the old "
+              "lattice formula held only 997 DISTINCT vectors at any "
+              "size, so the stage measured a duplicate-vector hot-bucket "
+              "pathology — 1.28M candidate pairs in 869 of 8192 buckets "
+              "— not a representative ANN workload.)")},
 ]
 
 
