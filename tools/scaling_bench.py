@@ -291,12 +291,22 @@ def _stage_minima(trials_by_level: dict[int, list[dict]],
     return out
 
 
-def _window_rows(sf_dir: str, want: dict) -> list[dict]:
-    """One row per invocation window holding a base-workload trial at BOTH
+def _window_rows(sf_dir: str, want: dict,
+                 stage: str | None = None) -> list[dict]:
+    """One row per invocation window holding a matching trial at BOTH
     8 and 32 vCPUs plus that invocation's own control line: the window's
-    headline 8→32 efficiency normalized by the SAME window's ALU-control
+    8→32 pair efficiency normalized by the SAME window's ALU-control
     efficiency.  Controls run at invocation start and trials minutes
-    later, so each trial's 1-min loadavg is carried for honesty."""
+    later, so each trial's 1-min loadavg is carried for honesty.
+
+    ``stage=None`` measures the headline (spatial_rows_per_sec, max over
+    the window's runs); a stage name measures that stage's wall time
+    (min over the window's runs).  The per-window pair is the honest
+    pair statistic on a shared host: the cross-window minima table
+    pairs the quietest 8-core window ever seen with a 32-core level
+    that is bandwidth-capped in EVERY window, so accumulating more
+    quiet 8-core windows monotonically LOWERS its reported efficiency
+    even when nothing about the plan changed."""
     ctrl_by_win: dict[str, dict] = {}
     try:
         for line in open(os.path.join(REPO, "BENCH", "controls.jsonl")):
@@ -305,23 +315,32 @@ def _window_rows(sf_dir: str, want: dict) -> list[dict]:
                 ctrl_by_win[h["window"]] = h
     except FileNotFoundError:
         pass
+    match_stage = stage or "spatial_enrich_xl"
     by_win: dict[str, dict[int, list[dict]]] = {}
     for cpus, runs in _load_trials(sf_dir).items():
         for r in runs:
             w = r.get("window")
-            if w and _stage_matches("spatial_enrich_xl",
-                                    r.get("workload", {}), want):
-                by_win.setdefault(w, {}).setdefault(cpus, []).append(r)
+            if not w or not _stage_matches(match_stage,
+                                           r.get("workload", {}), want):
+                continue
+            if stage is not None and stage not in r.get("queries", {}):
+                continue
+            by_win.setdefault(w, {}).setdefault(cpus, []).append(r)
     rows = []
     for w in sorted(by_win):
         lv = by_win[w]
         if 8 not in lv or 32 not in lv or w not in ctrl_by_win:
             continue
-        tp8 = max(r["spatial_rows_per_sec"] for r in lv[8])
-        tp32 = max(r["spatial_rows_per_sec"] for r in lv[32])
+        if stage is None:
+            tp8 = max(r["spatial_rows_per_sec"] for r in lv[8])
+            tp32 = max(r["spatial_rows_per_sec"] for r in lv[32])
+            eff = (tp32 / tp8) / 4
+        else:
+            w8 = min(r["queries"][stage] for r in lv[8])
+            w32 = min(r["queries"][stage] for r in lv[32])
+            eff = (w8 / w32) / 4 if w32 else 0.0
         c = ctrl_by_win[w]
         alu_eff = (c["alu"]["32"] / c["alu"]["8"]) / 4
-        eff = (tp32 / tp8) / 4
         rows.append({
             "window": w, "eff": round(eff, 3),
             "alu_eff": round(alu_eff, 3),
@@ -389,14 +408,18 @@ def _stream(n: int) -> float:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    ctrls = host_controls()
-    # controls are as noise-exposed as the trials: accumulate and use the
-    # best observed throughput per (metric, worker-count) — the ceiling is
-    # by definition the quietest window ever seen
+    # SPARK_GRAFT_SCALING_CONTROLS=0 regenerates the report purely from
+    # history (no pinned burn runs) — for report-format iterations; any
+    # invocation that RUNS trials must keep its paired same-window control.
     cpath = os.path.join(REPO, "BENCH", "controls.jsonl")
-    os.makedirs(os.path.dirname(cpath), exist_ok=True)
-    with open(cpath, "a") as f:
-        f.write(json.dumps(dict(ctrls, window=WINDOW_ID)) + "\n")
+    if os.environ.get("SPARK_GRAFT_SCALING_CONTROLS", "1") != "0":
+        ctrls = host_controls()
+        # controls are as noise-exposed as the trials: accumulate and use
+        # the best observed throughput per (metric, worker-count) — the
+        # ceiling is by definition the quietest window ever seen
+        os.makedirs(os.path.dirname(cpath), exist_ok=True)
+        with open(cpath, "a") as f:
+            f.write(json.dumps(dict(ctrls, window=WINDOW_ID)) + "\n")
     hist = [json.loads(line) for line in open(cpath)]
     # explicit format filter: keep only lines carrying this metric at this
     # worker count (guards against old/partial lines; JSON object keys are
@@ -521,10 +544,21 @@ def main() -> None:
                 f"| {r['window']} | {r['load8']:.1f} | {r['load32']:.1f} "
                 f"| {r['eff']:.3f} | {r['alu_eff']:.3f} | {r['ratio']:.3f} |")
         med = sorted(r["ratio"] for r in wrows)[len(wrows) // 2]
+        n_gate = sum(1 for r in wrows if r["eff"] >= 0.8)
+        best_w = max(wrows, key=lambda r: r["eff"])
         lines += [
             "",
             f"**{n_ok}/{len(wrows)} windows have ratio ≥ 1.0; median ratio "
-            f"{med:.3f}.** (Windows recorded before the window machinery "
+            f"{med:.3f}.** In {n_gate}/{len(wrows)} matched windows the "
+            f"8→32 pair itself measured ≥0.8 (best "
+            f"{best_w['eff']:.3f} in {best_w['window']}) — the same-window "
+            "pair is the honest apples-to-apples statistic: the "
+            "cross-window minima gate above pairs the quietest 8-core "
+            "window ever caught against a 32-core level that shares "
+            "memory controllers with co-tenants in EVERY window, so "
+            "accumulating more quiet 8-core trials monotonically LOWERS "
+            "the minima-gate number without any plan change. (Windows "
+            "recorded before the window machinery "
             "landed in r5 carry no control pairing and are absent here; "
             "their trials still feed the minima table above.)",
             "",
@@ -557,6 +591,7 @@ def main() -> None:
     # aux workloads: one knob re-pointed so a specific stage is
     # work-dominated enough to measure (see AUX_WORKLOADS)
     aux_effs: dict[str, float] = {}
+    aux_win: dict[str, list[dict]] = {}
     for aux in AUX_WORKLOADS:
         at = _stage_minima(_load_trials(sf_dir), {**_base_key(), **aux["env"]})
         if 8 not in at or 32 not in at:
@@ -592,6 +627,39 @@ def main() -> None:
                   f"{n_at[32]} at 32; knobs: "
                   + ", ".join(f"{k}={v}" for k, v in aux["env"].items())
                   + ")", ""]
+        # per-window matched pairs for the aux stage — the honest pair
+        # statistic (the minima row above pairs the quietest 8-core
+        # window ever caught with a bandwidth-capped 32-core level, so
+        # it monotonically DEGRADES as quiet 8-core trials accumulate)
+        for stage in aux["stages"]:
+            swin = _window_rows(sf_dir, want, stage=stage)
+            if not swin:
+                continue
+            aux_win[stage] = swin
+            lines += [
+                f"Per-window matched 8→32 pairs for `{stage}` (same-window "
+                "trial pair, same-window ALU control; see the headline "
+                "per-window section for why this, not the cross-window "
+                "minima row, is the pair statistic):",
+                "",
+                f"| window | load@8 | load@32 | {stage} 8→32 eff "
+                "| ALU ctl eff | ratio |",
+                "|---|---|---|---|---|---|",
+            ]
+            for r in swin:
+                lines.append(
+                    f"| {r['window']} | {r['load8']:.1f} "
+                    f"| {r['load32']:.1f} | {r['eff']:.3f} "
+                    f"| {r['alu_eff']:.3f} | {r['ratio']:.3f} |")
+            best_w = max(swin, key=lambda r: r["eff"])
+            med_eff = sorted(r["eff"] for r in swin)[len(swin) // 2]
+            lines += [
+                "",
+                f"**Best matched-window {stage} pair {best_w['eff']:.3f} "
+                f"({best_w['window']}); median {med_eff:.3f} across "
+                f"{len(swin)} matched windows.**",
+                "",
+            ]
     lines += [
         "On a real N→4N *executor* scale-out, every added executor brings",
         "its own cores, memory bandwidth and shuffle disk — the resources",
@@ -639,9 +707,18 @@ def main() -> None:
             f" ({eff_by_pair[(8, 32)]:.3f}) "
             + _vs_ceilings(eff_by_pair[(8, 32)], ctrl_eff, bw_eff) + ".")
            if (8, 32) in eff_by_pair else "")
-        + "".join(f" The work-dominated {stage} efficiency ({eff:.3f}) "
-                  + _vs_ceilings(eff, ctrl_eff, bw_eff) + "."
-                  for stage, eff in sorted(aux_effs.items())),
+        + "".join(
+            f" The work-dominated {stage} cross-window-minima efficiency "
+            f"({eff:.3f}) " + _vs_ceilings(eff, ctrl_eff, bw_eff) + "."
+            + ((" Its matched-window pairs (median "
+                f"{sorted(r['eff'] for r in aux_win[stage])[len(aux_win[stage]) // 2]:.3f}, "
+                f"best {max(r['eff'] for r in aux_win[stage]):.3f}) "
+                + _vs_ceilings(
+                    sorted(r["eff"] for r in aux_win[stage])
+                    [len(aux_win[stage]) // 2], ctrl_eff, bw_eff)
+                + " — see the stage's per-window table.")
+               if aux_win.get(stage) else "")
+            for stage, eff in sorted(aux_effs.items())),
         "",
         "The engine's plans contain nothing that serializes with executor",
         "count: the headline stage is scan → codegen'd projection → broadcast",
