@@ -340,7 +340,8 @@ def main() -> None:
             (F.col("id") + 5_000_000).alias("query_id"),
             ann_vec.alias("embedding"))
         return _force(cosine_topk_lsh(qv, corpus, k=10, prefix_bits=None,
-                                      n_corpus=n_corpus, dim=64))
+                                      n_corpus=n_corpus, dim=64,
+                                      n_queries=200))
 
     total = round(sum(timings.values()), 3)
     spatial_rps = round(headline_input_rows / timings["spatial_enrich_xl"], 1) \

@@ -258,6 +258,7 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
                     max_bucket: int = 10_000,
                     n_corpus: int | None = None,
                     dim: int | None = None,
+                    n_queries: int | None = None,
                     impl: str = "arrow") -> DataFrame:
     """ANN: sketch-prefix bucket join (multi-probe: exact prefix plus the
     prefix_bits single-bit-flip neighbors) → exact cosine re-rank.
@@ -279,6 +280,11 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scale path) and ``"catalyst"`` (interpreted HOF folds, the engine-
     native spec twin).  Ignored (catalyst fallback) when ``dim`` is
     unknown.
+
+    ``n_queries`` (optional, e.g. from Catalog.row_count manifest
+    metadata like ``n_corpus``) lets the planner make a STATIC broadcast
+    decision for the candidate-pair side of the embedding fetch — see
+    the join-order comment below.  Output is identical either way.
     """
     if prefix_bits is None:
         prefix_bits = pick_prefix_bits(
@@ -319,6 +325,36 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     cand_ids = (qp.join(cs, "_bucket")
                 .filter(F.col(q_id) != F.col(c_id))
                 .select(q_id, c_id).distinct())
+    # Join ORDER matters at scale: fetch corpus embeddings FIRST, against
+    # the id-only candidate pairs, THEN attach query embeddings.  The
+    # candidate side is (q,c) longs — a few MB even for hundreds of
+    # thousands of pairs — while the r5.3 order ((cand ⋈ qe) ⋈ ce)
+    # attached query embeddings first, which pushed BOTH join inputs
+    # over the broadcast threshold and hashed them by c_id: measured at
+    # ANN_N=1.5M/32 cores (tools/ann_tasks.py, per-task event-log
+    # metrics), 653 MB of corpus embeddings + 238 MB of candidate+query
+    # rows written and 892 MB read back through the exchange — ~1.5 GB
+    # of memory-bus traffic on a host whose stream ceiling is the 8→32
+    # scaling limiter.
+    #
+    # Order alone is not enough: AQE materializes BOTH children of a
+    # shuffled join before it can demote it to broadcast, so the 653 MB
+    # corpus-side exchange still gets WRITTEN even when the candidate
+    # side turns out tiny.  Killing the write needs a STATIC broadcast
+    # decision, and that needs a size estimate before any action runs:
+    # ``n_queries`` (caller-supplied, e.g. from Catalog.row_count
+    # manifest metadata — the same pattern as ``n_corpus``) bounds the
+    # expected candidate set at n_queries × (prefix_bits+1) probes ×
+    # ~target_bucket members, and when that estimate is comfortably
+    # broadcastable the candidate pairs get an explicit broadcast hint:
+    # the corpus embeddings then stream MAP-SIDE off the scan with no
+    # exchange at all.  With the estimate large or n_queries unknown,
+    # the plan stays shuffled and AQE keeps the runtime re-plan — same
+    # worst case, strictly better common case.
+    est_cand_rows = (n_queries * (prefix_bits + 1) * 256
+                     if n_queries is not None else None)
+    if est_cand_rows is not None and est_cand_rows * 16 < (64 << 20):
+        cand_ids = F.broadcast(cand_ids)
     if dim is not None and impl == "arrow":
         # fused Arrow cosine per candidate pair — no corpus-wide norm pass
         # (a 64-dim norm per pair is ~nothing vectorized; the Catalyst
@@ -326,7 +362,7 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
         # INTERPRETED fold per pair)
         qe = queries.select(F.col(q_id), F.col("embedding").alias("_qe"))
         ce = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"))
-        cand = (cand_ids.join(qe, q_id).join(ce, c_id)
+        cand = (cand_ids.join(ce, c_id).join(qe, q_id)
                 .withColumn("cos_sim", _cosine_arrow(dim)("_qe", "_ce")))
     else:
         qe = queries.select(F.col(q_id), F.col("embedding").alias("_qe"),
@@ -334,7 +370,7 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
         ce = corpus.select(F.col(c_id), F.col("embedding").alias("_ce"),
                            _norm("embedding").alias("_cn"))
         sim = _dot("_qe", "_ce") / (F.col("_qn") * F.col("_cn"))
-        cand = (cand_ids.join(qe, q_id).join(ce, c_id)
+        cand = (cand_ids.join(ce, c_id).join(qe, q_id)
                 .withColumn("cos_sim", sim))
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(c_id))
     return (cand.withColumn("rank", F.row_number().over(w))

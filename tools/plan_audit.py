@@ -232,6 +232,20 @@ def main() -> None:
           must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
                     "BatchEvalPython", "MapInPandas"])
 
+    # 9b. ANN LSH with caller-supplied n_queries stats (r5.4): the
+    # candidate-pair side of the embedding fetch is broadcast
+    # STATICALLY, so corpus embeddings stream map-side off the scan —
+    # the plan must contain NO exchange hash-partitioned on the corpus
+    # id (the r5.3 shuffled form wrote 653 MB of embeddings through
+    # exactly that exchange at ANN_N=1.5M; AQE cannot skip the write
+    # because it materializes both join children before re-planning).
+    audit("ann lsh static broadcast embedding fetch (n_queries stats)",
+          cosine_topk_lsh(aq, ac, k=5, prefix_bits=6, n_queries=50),
+          must=["BroadcastHashJoin", "Window", "ArrowEvalPython"],
+          must_not=["hashpartitioning(neighbor_id",
+                    "CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython", "MapInPandas"])
+
     # 10. hexcell probe join (r4): seam-aware hex_kring explode + long-key
     # equi-join.  Python appears ONLY in the two cell encodes
     # (ArrowEvalPython pandas_udf nodes — one per side); the ring explode,

@@ -51,7 +51,7 @@ WORKLOAD_KNOBS = {
 # The git SHA of every trial is still RECORDED (audit trail) but is not
 # part of the match key: doc-only commits between trials must not orphan
 # the accumulated minima, while a version bump here deliberately does.
-WORKLOAD_VERSION = "r5.3-long-buckets+arrow-rerank"
+WORKLOAD_VERSION = "r5.4-bcast-cand-fetch"
 
 
 # Auxiliary workloads: same suite with one knob re-pointed so a specific
@@ -89,7 +89,13 @@ AUX_WORKLOADS = [
               "lattice formula held only 997 DISTINCT vectors at any "
               "size, so the stage measured a duplicate-vector hot-bucket "
               "pathology — 1.28M candidate pairs in 869 of 8192 buckets "
-              "— not a representative ANN workload.)")},
+              "— not a representative ANN workload.  r5.4: the embedding "
+              "fetch broadcasts the candidate-pair side statically via "
+              "caller-supplied n_queries stats — tools/ann_tasks.py "
+              "per-task event-log metrics showed the r5.3 shuffled fetch "
+              "moving ~1.5 GB of embeddings through the exchange at this "
+              "corpus size; the r5.4 plan's total shuffle traffic is "
+              "~20 MB.)")},
 ]
 
 
@@ -133,18 +139,28 @@ def _workload_key(overrides: dict | None = None) -> dict:
 #   ~100 of 145 CPU-s at 32 cores to those two blocks with 2.2× CPU
 #   inflation vs 8 cores; value parity pinned by
 #   test_cosine_topk_lsh_arrow_equals_catalyst_incl_edge_rows + q31).
+# * r5.3 → r5.4 changed ONLY ann_lsh again (static broadcast of the
+#   candidate-pair side of the embedding fetch when the caller supplies
+#   n_queries stats — tools/ann_tasks.py per-task event-log metrics
+#   showed the r5.3 shuffled fetch writing 653 MB of corpus embeddings
+#   + reading 892 MB back at ANN_N=1.5M; the r5.4 plan's total shuffle
+#   traffic is ~20 MB.  Value parity unchanged: q31 + the arrow/
+#   catalyst equivalence tests re-run green).
 # Verified by git diff over bench.py's stage bodies and every engine
 # module the other stages call.  Older trials remain admissible for
 # every stage whose measured definition is unchanged since their
-# version; dedup_near pins to {r5.1, r5.2, r5.3}, ann_lsh to {r5.3}.
+# version; dedup_near pins to {r5.1, r5.2, r5.3, r5.4}, ann_lsh to
+# {r5.4}.
 _PREV_COMPATIBLE = frozenset({"r3.3-allcols-agg+cellBHJ+xl8192",
                               "r4.1-dedup-corpus-parquet+60bit-hset",
                               "r5.1-arrow-signatures",
-                              "r5.2-arrow-sketch+ann-corpus-parquet"})
+                              "r5.2-arrow-sketch+ann-corpus-parquet",
+                              "r5.3-long-buckets+arrow-rerank"})
 DEFAULT_ACCEPT = frozenset({WORKLOAD_VERSION}) | _PREV_COMPATIBLE
 STAGE_ACCEPT = {
     "dedup_near": frozenset({WORKLOAD_VERSION, "r5.1-arrow-signatures",
-                             "r5.2-arrow-sketch+ann-corpus-parquet"}),
+                             "r5.2-arrow-sketch+ann-corpus-parquet",
+                             "r5.3-long-buckets+arrow-rerank"}),
     "ann_lsh": frozenset({WORKLOAD_VERSION}),
 }
 STAGE_KNOBS = {
