@@ -21,6 +21,8 @@ per-bucket pair blow-up is bounded by per-bucket caps (`max_bucket`).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -199,6 +201,30 @@ def _band_keys(n_hashes: int, band_size: int) -> F.Column:
         for b in range(n_bands)])
 
 
+def _band_keys_long(n_hashes: int, band_size: int) -> F.Column:
+    """array<long> band keys: xxhash64 over each band's minima columns —
+    the ENGINE-INTERNAL join-key form (``dedup_near``'s default).  The
+    ':'-joined string form above stays the public/spec form
+    (``minhash_bands``, SQL-replayable) — this one exists because the
+    band self-join and its bucket-size aggregate hash/compare the key on
+    every one of the ~4 rows per document, and a fixed-width long
+    beats a ~20-char UTF8String on both bytes shuffled and codegen
+    compare cost (event-log attribution at DEDUP_EXTRA=1.2M/32 cores:
+    the candidate stage read 19.1M string-keyed records for 92 CPU-s).
+
+    Correctness: keys are only compared for equality, and the Jaccard
+    verify downstream is EXACT, so an xxhash64 collision (odds ~2⁻⁶⁴ per
+    band pair, ~1e-13 across a 5M-band corpus) can only add a spurious
+    candidate that verify then rejects — the operator's OUTPUT is
+    unchanged; only the max_bucket occupancy count could shift at those
+    same odds."""
+    n_bands = n_hashes // band_size
+    return F.array(*[
+        F.xxhash64(F.lit(b), *[F.col(f"mh_{b * band_size + j}")
+                               for j in range(band_size)])
+        for b in range(n_bands)])
+
+
 def minhash_signature_df(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n_hashes: int = 8,
                          shingle_n: int = 3) -> DataFrame:
@@ -288,6 +314,76 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame,
             .localCheckpoint(eager=True))
     sh.unpersist()
     return out
+
+
+def _jaccard_arrow():
+    """Per-pair exact Jaccard over two distinct-long-array columns as ONE
+    flat-batch numpy pass — the verify projection's scale form.
+
+    The Catalyst twin (``size(array_intersect)/size(array_union)``)
+    builds a boxed ``OpenHashSet[Any]`` per pair per operator: random
+    pointer-chasing over ~80 heap objects per candidate.  Event-log
+    attribution at DEDUP_EXTRA=1.2M (tools/dedup_tasks.py, 2.3M
+    candidate pairs of ~40-long sets) measured the verify stage at 87
+    CPU-s on 8 pinned cores vs 605-1400 CPU-s on 32 — 7-16× CPU
+    inflation for identical work, the signature of an LLC-thrash-bound
+    workload (per-thread working sets × threads outgrow the shared
+    cache, so every probe becomes a DRAM miss); it anti-scales with
+    cores and is the reason the stage's matched-window 8→32 efficiency
+    sat below both host ceilings.
+
+    The numpy form (same flat-batch idiom as ``_doc_signatures_arrow``):
+    lexsort all (pair_idx, value) rows of a batch once — sequential
+    streams, no per-pair allocation — and count adjacent duplicates per
+    pair; |A∩B| = dups, |A∪B| = |A|+|B|−dups.  EXACT set arithmetic on
+    the same int64 values, so results are bit-identical to the Catalyst
+    twin (inputs are distinct-per-array by construction —
+    ``_doc_signatures`` emits ``np.unique`` / ``collect_set`` sets).
+    NULL semantics match Spark's non-ANSI Divide: NULL input or an
+    empty union → NULL."""
+    @F.pandas_udf("double")
+    def _jac(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        n = len(sa)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        av, bv = sa.values, sb.values
+        la = np.fromiter(
+            (len(x) if x is not None else -1 for x in av), np.int64, n)
+        lb = np.fromiter(
+            (len(x) if x is not None else -1 for x in bv), np.int64, n)
+        ok = (la >= 0) & (lb >= 0)
+        la0 = np.where(ok, la, 0)
+        lb0 = np.where(ok, lb, 0)
+        flat_a = np.concatenate(
+            [np.asarray(x, dtype=np.int64) if k else np.empty(0, np.int64)
+             for x, k in zip(av, ok)]) if n else np.empty(0, np.int64)
+        flat_b = np.concatenate(
+            [np.asarray(x, dtype=np.int64) if k else np.empty(0, np.int64)
+             for x, k in zip(bv, ok)]) if n else np.empty(0, np.int64)
+        idx = np.concatenate([np.repeat(np.arange(n), la0),
+                              np.repeat(np.arange(n), lb0)])
+        vals = np.concatenate([flat_a, flat_b])
+        order = np.lexsort((vals, idx))
+        iv, vv = idx[order], vals[order]
+        dup = (iv[1:] == iv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(iv[1:][dup], minlength=n).astype(np.float64)
+        union = (la0 + lb0).astype(np.float64) - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = inter / union
+        out = np.empty(n, dtype=object)
+        good = ok & (union > 0)
+        for i in np.nonzero(good)[0]:
+            out[i] = float(jac[i])
+        return pd.Series(out)
+
+    # Evaluate-once barrier, NOT a semantic statement (the function is
+    # pure): Catalyst duplicates a deterministic UDF below any filter
+    # that references its output — dedup_near's threshold filter
+    # produced TWO ArrowEvalPython nodes, i.e. the full per-pair verify
+    # exchange run twice (plan-audited).  Nondeterministic projections
+    # are pushdown barriers, so the UDF runs exactly once and the
+    # filter reads the projected column.
+    return _jac.asNondeterministic()
 
 
 def _doc_signatures_arrow(docs: DataFrame, id_col: str, text_col: str,
@@ -381,7 +477,8 @@ def _doc_signatures_arrow(docs: DataFrame, id_col: str, text_col: str,
 
 def _doc_signatures(docs: DataFrame, id_col: str, text_col: str,
                     n_hashes: int, band_size: int,
-                    shingle_n: int, impl: str = "arrow") -> DataFrame:
+                    shingle_n: int, impl: str = "arrow",
+                    band_keys: str = "string") -> DataFrame:
     """(id, hset:array<long>, bands:array<string>) — the distinct
     shingle-HASH set AND the LSH band keys of every document, one
     tokenize + one md5-per-shingle pass.
@@ -412,14 +509,16 @@ def _doc_signatures(docs: DataFrame, id_col: str, text_col: str,
         ex = _exploded_hashes(docs, id_col, text_col, shingle_n)
         sig = ex.groupBy(id_col).agg(*_min_hash_aggs(n_hashes),
                                      F.collect_set("_h").alias("hset"))
-    return sig.select(F.col(id_col), F.col("hset"),
-                      _band_keys(n_hashes, band_size).alias("bands"))
+    bk = (_band_keys_long if band_keys == "long"
+          else _band_keys)(n_hashes, band_size)
+    return sig.select(F.col(id_col), F.col("hset"), bk.alias("bands"))
 
 
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                threshold: float = 0.7, n_hashes: int = 8, band_size: int = 2,
                shingle_n: int = 3, max_bucket: int = 1000,
-               eager: bool = False, signatures: str = "arrow") -> DataFrame:
+               eager: bool = False, signatures: str = "arrow",
+               verify: str = "arrow") -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify, ONE driver
     action inside (the signature checkpoint) — the candidates→verify plan
     is returned LAZY, so the caller's own materialization (noop write,
@@ -470,8 +569,10 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # construction burns 4× the CPU at 32 cores for the same values
     # (_doc_signatures_arrow docstring); "catalyst" keeps the pure-
     # DataFrame spec form (parity-tested equal)
+    # band_keys="long": fixed-width engine-internal join keys (see
+    # _band_keys_long — the string form remains the public spec form)
     sig = _doc_signatures(docs, id_col, text_col, n_hashes, band_size,
-                          shingle_n, impl=signatures) \
+                          shingle_n, impl=signatures, band_keys="long") \
         .localCheckpoint(eager=True)
 
     bands = sig.select(id_col, F.posexplode("bands")
@@ -493,9 +594,16 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     j = (pairs
          .join(sh.select(F.col(id_col).alias("id_a"), F.col("hset").alias("sh_a")), "id_a")
          .join(sh.select(F.col(id_col).alias("id_b"), F.col("hset").alias("sh_b")), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    out = (j.withColumn("jaccard", F.round(inter / union, 6))
+    if verify == "arrow":
+        # flat-batch numpy set arithmetic (see _jaccard_arrow: the boxed
+        # array_intersect/array_union form burned 605-1400 CPU-s at 32
+        # cores vs 87 at 8 on the same 2.3M pairs — LLC-thrash-bound)
+        raw = _jaccard_arrow()(F.col("sh_a"), F.col("sh_b"))
+    else:
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        raw = inter / union
+    out = (j.withColumn("jaccard", F.round(raw, 6))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
     if eager:

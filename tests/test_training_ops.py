@@ -329,6 +329,31 @@ def test_doc_signatures_arrow_equals_catalyst(spark):
     assert 900005 in fa and 900004 in fa
 
 
+def test_dedup_near_arrow_verify_equals_catalyst(spark):
+    """The r5 flat-batch numpy Jaccard verify (the boxed
+    array_intersect/array_union form burned 7-16× the CPU at 32 cores —
+    see _jaccard_arrow) and the r5 long band keys must leave
+    dedup_near's OUTPUT identical to the Catalyst spec twins: same
+    pairs, bit-identical jaccard values, across the edge docs (empty /
+    NULL / punctuation-only text, sub-shingle token counts) and the
+    injected exact + near duplicates."""
+    edge = spark.createDataFrame(
+        [(900001, "two tokens"), (900002, "one"), (900003, "!!! ... ---"),
+         (900004, ""), (900005, None), (900011, "two tokens"),
+         (900012, ""), (900013, None)],
+        "doc_id long, text string")
+    c = _corpus(spark).unionByName(edge)
+    fast = dedup.dedup_near(c, threshold=0.7)
+    spec = dedup.dedup_near(c, threshold=0.7,
+                            signatures="catalyst", verify="catalyst")
+    fa = {(r.id_a, r.id_b): r.jaccard for r in fast.collect()}
+    fb = {(r.id_a, r.id_b): r.jaccard for r in spec.collect()}
+    assert fa == fb and len(fa) > 0
+    # the identical-text edge pairs verify at jaccard 1.0 in both forms
+    assert fa[(900001, 900011)] == 1.0
+    assert fa[(900004, 900012)] == 1.0
+
+
 def test_dedup_caches_released(spark):
     """dedup_near / hamming_near_pairs materialize-then-unpersist their
     internal caches: repeated calls accrete no DataFrame cache entries."""

@@ -210,11 +210,25 @@ def main() -> None:
           must=["MapInPandas"],
           must_not=["Exchange", "HashAggregate", "CartesianProduct",
                     "BatchEvalPython"])
+    # r5.5: the verify projection is ONE vectorized ArrowEvalPython
+    # pandas_udf (the flat-batch numpy Jaccard — the boxed
+    # array_intersect form burned 7-16× the CPU at 32 cores); still no
+    # row-at-a-time Python, no cartesian, and the candidates+verify plan
+    # reads the checkpointed signature RDD, never re-tokenizes.
+    dn_plan = plan_of(dedup_near(docs.limit(2000), threshold=0.7))
     audit("dedup_near candidates+verify (reads checkpointed signatures)",
           dedup_near(docs.limit(2000), threshold=0.7),
-          must=["Scan ExistingRDD"],
-          must_not=["CartesianProduct", "BatchEvalPython", "MapInPandas",
-                    "ArrowEvalPython"])
+          must=["Scan ExistingRDD", "ArrowEvalPython"],
+          must_not=["CartesianProduct", "BatchEvalPython", "MapInPandas"])
+    # formatted explain prints each node once in the tree and once as a
+    # "(N) ArrowEvalPython" detail header — count the headers.  Exactly
+    # ONE: Catalyst would otherwise duplicate the verify UDF below the
+    # threshold filter (the full per-pair exchange run twice) — see the
+    # asNondeterministic evaluate-once barrier in _jaccard_arrow.
+    import re as _re
+    n_arrow = len(_re.findall(r"\(\d+\) ArrowEvalPython", dn_plan))
+    print(f"  (dedup_near ArrowEvalPython nodes = {n_arrow}; must be 1)")
+    assert n_arrow == 1, f"expected exactly 1 Arrow verify node, got {n_arrow}"
 
     # 9. ANN LSH (r3 bucket-join rewrite; r5.2 Arrow sketch; r5.3 long
     # bucket keys + fused Arrow re-rank): candidate dedup on bare (id,

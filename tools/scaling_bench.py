@@ -51,7 +51,7 @@ WORKLOAD_KNOBS = {
 # The git SHA of every trial is still RECORDED (audit trail) but is not
 # part of the match key: doc-only commits between trials must not orphan
 # the accumulated minima, while a version bump here deliberately does.
-WORKLOAD_VERSION = "r5.4-bcast-cand-fetch"
+WORKLOAD_VERSION = "r5.5-arrow-verify+long-bands"
 
 
 # Auxiliary workloads: same suite with one knob re-pointed so a specific
@@ -72,7 +72,13 @@ AUX_WORKLOADS = [
               "~5s, floor-dominated again); 12× the distinct-doc corpus "
               "keeps the linear signature pass dominant.  (The corpus is "
               "a pre-materialized parquet fixture, so the stage measures "
-              "the dedup plan, not corpus synthesis.)")},
+              "the dedup plan, not corpus synthesis.  r5.5: the Jaccard "
+              "verify is a flat-batch numpy pandas_udf and band keys are "
+              "xxhash64 longs — the boxed array_intersect verify burned "
+              "87 CPU-s at 8 cores vs 605-1400 at 32 for identical "
+              "2.3M-pair work, LLC-thrash-bound anti-scaling that no "
+              "core count could fix; now ~24 CPU-s at 32, "
+              "tools/dedup_tasks.py.)")},
     {"title": "ann_lsh at work-dominated scale (ANN_N=1.5M)",
      "env": {"SPARK_GRAFT_ANN_N": "1500000"},
      "stages": ["ann_lsh"],
@@ -139,6 +145,14 @@ def _workload_key(overrides: dict | None = None) -> dict:
 #   ~100 of 145 CPU-s at 32 cores to those two blocks with 2.2× CPU
 #   inflation vs 8 cores; value parity pinned by
 #   test_cosine_topk_lsh_arrow_equals_catalyst_incl_edge_rows + q31).
+# * r5.4 → r5.5 changed ONLY dedup_near (flat-batch numpy Jaccard
+#   verify replacing the boxed array_intersect/array_union projection —
+#   tools/dedup_tasks.py measured the verify stage at 87 CPU-s @8 cores
+#   vs 605-1400 @32 for identical 2.3M-pair work, i.e. LLC-thrash-bound
+#   anti-scaling; now ~24 CPU-s @32 — plus xxhash64 long band keys for
+#   the candidate self-join and an evaluate-once barrier so the verify
+#   UDF is not duplicated below the threshold filter.  Value parity:
+#   q25 oracle re-run green; arrow-vs-catalyst dedup_near parity test).
 # * r5.3 → r5.4 changed ONLY ann_lsh again (static broadcast of the
 #   candidate-pair side of the embedding fetch when the caller supplies
 #   n_queries stats — tools/ann_tasks.py per-task event-log metrics
@@ -149,19 +163,17 @@ def _workload_key(overrides: dict | None = None) -> dict:
 # Verified by git diff over bench.py's stage bodies and every engine
 # module the other stages call.  Older trials remain admissible for
 # every stage whose measured definition is unchanged since their
-# version; dedup_near pins to {r5.1, r5.2, r5.3, r5.4}, ann_lsh to
-# {r5.4}.
+# version; dedup_near pins to {r5.5}, ann_lsh to {r5.4}.
 _PREV_COMPATIBLE = frozenset({"r3.3-allcols-agg+cellBHJ+xl8192",
                               "r4.1-dedup-corpus-parquet+60bit-hset",
                               "r5.1-arrow-signatures",
                               "r5.2-arrow-sketch+ann-corpus-parquet",
-                              "r5.3-long-buckets+arrow-rerank"})
+                              "r5.3-long-buckets+arrow-rerank",
+                              "r5.4-bcast-cand-fetch"})
 DEFAULT_ACCEPT = frozenset({WORKLOAD_VERSION}) | _PREV_COMPATIBLE
 STAGE_ACCEPT = {
-    "dedup_near": frozenset({WORKLOAD_VERSION, "r5.1-arrow-signatures",
-                             "r5.2-arrow-sketch+ann-corpus-parquet",
-                             "r5.3-long-buckets+arrow-rerank"}),
-    "ann_lsh": frozenset({WORKLOAD_VERSION}),
+    "dedup_near": frozenset({WORKLOAD_VERSION}),
+    "ann_lsh": frozenset({WORKLOAD_VERSION, "r5.4-bcast-cand-fetch"}),
 }
 STAGE_KNOBS = {
     "spatial_enrich_xl": ("SPARK_GRAFT_XL_MULT",),
