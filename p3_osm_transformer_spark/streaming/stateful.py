@@ -100,8 +100,20 @@ def await_drained(query, timeout_s: int, state_timeout_set: bool) -> list:
     never checks whether timers remain — measured: 29 empty batches in
     30s with numRowsTotal already 0), so availableNow never terminates on
     its own; instead, stop once the data is drained AND at least one
-    zero-input batch has run (expired timers fire in every batch, so by
-    then every due retirement has been processed)."""
+    zero-input batch has run AFTER the last data batch (expired timers
+    fire in every batch, so by then every due retirement has been
+    processed).
+
+    The AFTER matters (r5 bug, caught deterministically by
+    test_state_timeout_retires_and_readmits_key under load): on a
+    checkpoint restart the engine can commit a zero-input cleanup batch
+    BEFORE the batch that drains the newly-arrived file, and the old
+    "any zero-input batch exists" rule stopped the query right there —
+    the pending file was never processed and the run's output was
+    silently incomplete.  A run started with NO new data pending is the
+    same shape (only zero-input batches) — for that case, two committed
+    zero-input batches suffice (the first could have raced a concurrent
+    file landing mid-listing; the second sees a stable listing)."""
     if not state_timeout_set:
         if not query.awaitTermination(timeout_s):
             query.stop()
@@ -114,12 +126,17 @@ def await_drained(query, timeout_s: int, state_timeout_set: bool) -> list:
     while _time.time() < deadline:
         if not query.isActive:
             return list(query.recentProgress)
-        if any(getattr(p, "numInputRows", None) == 0
-               for p in query.recentProgress):
-            progress = list(query.recentProgress)
+        prog = list(query.recentProgress)
+        data_ids = [p.batchId for p in prog
+                    if (getattr(p, "numInputRows", 0) or 0) > 0]
+        zero_ids = [p.batchId for p in prog
+                    if getattr(p, "numInputRows", None) == 0]
+        drained = (zero_ids and data_ids
+                   and max(zero_ids) > max(data_ids)) or len(zero_ids) >= 2
+        if drained:
             query.stop()
             query.awaitTermination(30)
-            return progress
+            return prog
         _time.sleep(0.3)
     query.stop()
     raise TimeoutError(
