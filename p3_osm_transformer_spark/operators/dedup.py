@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ exact
@@ -278,8 +278,11 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     bands = minhash_bands(docs, id_col, text_col, n_hashes, band_size,
                           shingle_n).cache()
-    sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("_bn"))
-    kept = (bands.join(sizes, ["band_idx", "band_key"])
+    # window-count bucket guard — one exchange, reused by the self-join
+    # on the same keys (see dedup_near)
+    kept = (bands.withColumn(
+                "_bn", F.count(F.lit(1)).over(
+                    Window.partitionBy("band_idx", "band_key")))
             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = kept.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = kept.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
@@ -577,8 +580,22 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     bands = sig.select(id_col, F.posexplode("bands")
                        .alias("band_idx", "band_key"))
-    sizes = bands.groupBy("band_idx", "band_key").agg(F.count("*").alias("_bn"))
-    kept = (bands.join(sizes, ["band_idx", "band_key"])
+    # Bucket-size guard as a WINDOW count, not groupBy+re-join (r5.6):
+    # the aggregate form shuffled the band table twice (once into the
+    # count aggregate, once for the sizes join) and evaluated the
+    # checkpoint-read+posexplode three times (sizes, join side a, join
+    # side b).  count() over the (band_idx, band_key) partition needs
+    # ONE exchange+sort — and the band self-join below joins on the SAME
+    # keys, so AQE reuses the materialized shuffle stage for both sides
+    # at runtime (measured, tools/dedup_tasks.py at DEDUP_EXTRA=1.2M:
+    # the duplicate 66 MB band-exchange stage disappears and the
+    # candidate-join stage's shuffle read drops 304→171 MB; the INITIAL
+    # plan cannot show ReusedExchange under AQE — reuse happens in the
+    # adaptive stage cache).  _bn values are identical by definition.
+    # Same shape as ann_lsh's hot-bucket cap (simsearch.py
+    # cosine_topk_lsh).
+    wb = Window.partitionBy("band_idx", "band_key")
+    kept = (bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     a = kept.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = kept.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")

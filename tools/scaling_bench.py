@@ -51,7 +51,7 @@ WORKLOAD_KNOBS = {
 # The git SHA of every trial is still RECORDED (audit trail) but is not
 # part of the match key: doc-only commits between trials must not orphan
 # the accumulated minima, while a version bump here deliberately does.
-WORKLOAD_VERSION = "r5.5-arrow-verify+long-bands"
+WORKLOAD_VERSION = "r5.6-window-bucket-guard"
 
 
 # Auxiliary workloads: same suite with one knob re-pointed so a specific
@@ -145,6 +145,12 @@ def _workload_key(overrides: dict | None = None) -> dict:
 #   ~100 of 145 CPU-s at 32 cores to those two blocks with 2.2× CPU
 #   inflation vs 8 cores; value parity pinned by
 #   test_cosine_topk_lsh_arrow_equals_catalyst_incl_edge_rows + q31).
+# * r5.5 → r5.6 changed ONLY dedup_near again (bucket-size guard as a
+#   window count over (band_idx, band_key) instead of groupBy+re-join:
+#   one band exchange, AQE-reused by both self-join sides — measured,
+#   tools/dedup_tasks.py: the duplicate band exchange stage disappears,
+#   candidate-join shuffle read 304→171 MB, wall 23.0→18.9 s @32 in
+#   comparable windows.  _bn values identical by definition; q25 green).
 # * r5.4 → r5.5 changed ONLY dedup_near (flat-batch numpy Jaccard
 #   verify replacing the boxed array_intersect/array_union projection —
 #   tools/dedup_tasks.py measured the verify stage at 87 CPU-s @8 cores
@@ -163,17 +169,19 @@ def _workload_key(overrides: dict | None = None) -> dict:
 # Verified by git diff over bench.py's stage bodies and every engine
 # module the other stages call.  Older trials remain admissible for
 # every stage whose measured definition is unchanged since their
-# version; dedup_near pins to {r5.5}, ann_lsh to {r5.4}.
+# version; dedup_near pins to {r5.6}, ann_lsh to {r5.4, r5.5, r5.6}.
 _PREV_COMPATIBLE = frozenset({"r3.3-allcols-agg+cellBHJ+xl8192",
                               "r4.1-dedup-corpus-parquet+60bit-hset",
                               "r5.1-arrow-signatures",
                               "r5.2-arrow-sketch+ann-corpus-parquet",
                               "r5.3-long-buckets+arrow-rerank",
-                              "r5.4-bcast-cand-fetch"})
+                              "r5.4-bcast-cand-fetch",
+                              "r5.5-arrow-verify+long-bands"})
 DEFAULT_ACCEPT = frozenset({WORKLOAD_VERSION}) | _PREV_COMPATIBLE
 STAGE_ACCEPT = {
     "dedup_near": frozenset({WORKLOAD_VERSION}),
-    "ann_lsh": frozenset({WORKLOAD_VERSION, "r5.4-bcast-cand-fetch"}),
+    "ann_lsh": frozenset({WORKLOAD_VERSION, "r5.4-bcast-cand-fetch",
+                          "r5.5-arrow-verify+long-bands"}),
 }
 STAGE_KNOBS = {
     "spatial_enrich_xl": ("SPARK_GRAFT_XL_MULT",),
