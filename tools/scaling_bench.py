@@ -755,12 +755,15 @@ def main() -> None:
         + "".join(
             f" The work-dominated {stage} cross-window-minima efficiency "
             f"({eff:.3f}) " + _vs_ceilings(eff, ctrl_eff, bw_eff) + "."
-            + ((" Its matched-window pairs (median "
-                f"{sorted(r['eff'] for r in aux_win[stage])[len(aux_win[stage]) // 2]:.3f}, "
-                f"best {max(r['eff'] for r in aux_win[stage]):.3f}) "
+            + ((" Its matched-window pair median "
+                f"{sorted(r['eff'] for r in aux_win[stage])[len(aux_win[stage]) // 2]:.3f} "
                 + _vs_ceilings(
                     sorted(r["eff"] for r in aux_win[stage])
                     [len(aux_win[stage]) // 2], ctrl_eff, bw_eff)
+                + f"; the best matched pair "
+                f"{max(r['eff'] for r in aux_win[stage]):.3f} "
+                + _vs_ceilings(max(r["eff"] for r in aux_win[stage]),
+                               ctrl_eff, bw_eff)
                 + " — see the stage's per-window table.")
                if aux_win.get(stage) else "")
             for stage, eff in sorted(aux_effs.items())),
